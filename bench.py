@@ -1,0 +1,130 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Flagship config (BASELINE.md config 1): 2-D ring-of-Gaussians RNODE with
+Hutchinson-VJP trace, reference-default hyperparameters, measuring
+
+* ``train_samples_per_sec_per_chip`` — full train step (loss + grad + Adam)
+  throughput, and
+* NFE-normalized log-prob evals/s on the TestMode exact-trace path
+  (reported in the auxiliary fields).
+
+``vs_baseline``: the reference publishes no absolute numbers (BASELINE.md), so
+the anchor is this repo's first recorded TPU measurement, persisted to
+``BASELINE_LOCAL.json`` on first run; later rounds report their speedup
+against it.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import continuousnormalizingflows_tpu as cnf
+from continuousnormalizingflows_tpu.config import Mode, SolverConfig
+from continuousnormalizingflows_tpu.utils import datasets
+
+BATCH = 4096
+TRAIN_STEPS = 20
+ANCHOR_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL.json")
+
+
+def bench_train(icnf, params, x):
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        l, grads = jax.value_and_grad(
+            lambda p: cnf.loss(icnf, Mode.TRAIN, x, p, key=key)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    params, opt_state, l = step(params, opt_state, key)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    for i in range(TRAIN_STEPS):
+        key, k = jax.random.split(key)
+        params, opt_state, l = step(params, opt_state, k)
+    jax.block_until_ready(l)
+    dt = (time.perf_counter() - t0) / TRAIN_STEPS
+    return BATCH / dt, float(l)
+
+
+def bench_eval(icnf_eval, params, x):
+    @jax.jit
+    def ev(params):
+        lp, _augs, nfe = cnf.inference(icnf_eval, Mode.TEST, x, params)
+        return lp, nfe
+
+    lp, nfe = ev(params)
+    jax.block_until_ready(lp)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        lp, nfe = ev(params)
+    jax.block_until_ready(lp)
+    dt = (time.perf_counter() - t0) / reps
+    return BATCH / dt, int(nfe), BATCH * int(nfe) / dt
+
+
+def main():
+    icnf = cnf.ICNF.create(
+        nvariables=2,
+        solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=32),
+    )
+    # same model, adaptive reference-tolerance solver for TestMode evals
+    icnf_eval = cnf.ICNF(
+        config=__import__("dataclasses").replace(
+            icnf.config, solver=SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4)
+        ),
+        net=icnf.net,
+    )
+    params = icnf.init(jax.random.PRNGKey(0))
+    x = datasets.gaussian_mixture(jax.random.PRNGKey(1), BATCH)
+
+    train_sps, final_loss = bench_train(icnf, params, x)
+    eval_sps, nfe, dyn_evals_ps = bench_eval(icnf_eval, params, x)
+
+    anchor = None
+    if os.path.exists(ANCHOR_FILE):
+        with open(ANCHOR_FILE) as f:
+            anchor = json.load(f).get("train_samples_per_sec_per_chip")
+    if not anchor:
+        with open(ANCHOR_FILE, "w") as f:
+            json.dump(
+                {
+                    "train_samples_per_sec_per_chip": train_sps,
+                    "note": "round-1 TPU anchor (reference publishes no numbers)",
+                },
+                f,
+            )
+        anchor = train_sps
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_per_chip",
+                "value": round(train_sps, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(train_sps / anchor, 3),
+                "aux": {
+                    "testmode_logprob_evals_per_sec": round(eval_sps, 1),
+                    "testmode_nfe": nfe,
+                    "dynamics_evals_per_sec": round(dyn_evals_ps, 1),
+                    "train_loss": round(final_loss, 4),
+                    "batch": BATCH,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Static configuration for the TPU-native ICNF framework.
+
+The reference library (impICNF/ContinuousNormalizingFlows.jl) encodes behavior
+variants as Julia compile-time type parameters on one unified ``ICNF`` struct
+(reference ``src/core/types.jl:1-45`` and ``src/core/icnf.jl:16-141``).  The
+TPU-native equivalent is a frozen, hashable dataclass that is passed to
+``jax.jit`` as a *static* argument: every boolean/enum below is resolved at
+trace time, so variant selection costs zero at runtime — the same property the
+reference gets from dispatch.
+
+Variant mapping (reference ``src/core/icnf.jl:1-15`` docstring):
+
+* FFJORD        — ``lambda_1 = lambda_2 = lambda_3 = 0``, ``naugments = 0``
+* RNODE         — ``lambda_1 != 0`` (kinetic) and/or ``lambda_2 != 0``
+                  (Jacobian-Frobenius), integrated as extra ODE states
+* ANODE         — ``naugments != 0`` (input zero-padded), ``lambda_3 != 0``
+                  penalizes the terminal augmented-state norm
+* STEER         — ``steer_rate != 0`` randomizes the end time in train mode
+* Cond*         — ``nconditions != 0``; conditions concatenated to the net input
+* non-autonomous— ``autonomous = False`` (default, as in the reference)
+  concatenates scalar ``t`` to the net input.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+__all__ = [
+    "Mode",
+    "TraceEstimator",
+    "ProbeDist",
+    "SolverConfig",
+    "ICNFConfig",
+]
+
+
+class Mode(enum.Enum):
+    """Evaluation mode — reference ``TestMode`` / ``TrainMode`` (types.jl:1-7).
+
+    ``TEST``  — exact trace (full Jacobian diagonal), no regularization terms.
+    ``TRAIN`` — stochastic (Hutchinson) trace; regularization states are
+                integrated when the corresponding ``lambda_*`` is nonzero
+                (reference ``TrainMode{true}``; set all lambdas to 0 for the
+                ``TrainMode{false}`` behavior).
+    """
+
+    TEST = "test"
+    TRAIN = "train"
+
+
+class TraceEstimator(str, enum.Enum):
+    """Collapse of the reference's 8 ``ComputeMode`` types (types.jl:9-35).
+
+    ``vmap`` subsumes the vector/matrix split, JAX's single AD system subsumes
+    the DI-vs-Lux and Zygote/ForwardDiff/Enzyme split; what remains semantic is
+    *reverse* (VJP) vs *forward* (JVP) probe contraction.
+    """
+
+    HUTCH_VJP = "hutch_vjp"  # eps^T J via reverse-mode (default; LuxVecJacMatrixMode)
+    HUTCH_JVP = "hutch_jvp"  # J eps via forward-mode (LuxJacVecMatrixMode)
+    EXACT = "exact"  # full Jacobian diagonal — forced in Mode.TEST
+
+
+class ProbeDist(str, enum.Enum):
+    """Hutchinson probe distribution (reference ``epsdist``, icnf.jl:80-83)."""
+
+    GAUSSIAN = "gaussian"  # reference default: MvNormal(0, I)
+    RADEMACHER = "rademacher"  # lower-variance alternative for the trace
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """ODE solve + gradient configuration.
+
+    Mirrors the reference ``sol_kwargs`` (icnf.jl:84-102): adaptive solver with
+    ``reltol = abstol = 1e-4`` and a continuous-adjoint gradient
+    (``QuadratureAdjoint``).  TPU-first choices: the adaptive method is an
+    embedded Runge-Kutta (Dormand-Prince 5(4)) driven by ``lax.while_loop``
+    (multistep VCABM state machines map poorly onto XLA), and a fixed-step
+    ``lax.scan`` path (``method="rk4"``) supports discretize-then-optimize
+    backprop with static shapes and rematerialization.
+    """
+
+    method: str = "dopri5"  # "dopri5" | "rk4" | "euler"
+    rtol: float = 1.0e-4
+    atol: float = 1.0e-4
+    max_steps: int = 16_384  # adaptive-path bound (reference uses typemax(Int))
+    fixed_steps: int = 64  # step count for fixed-step methods
+    gradient: str = "adjoint"  # "adjoint" | "backprop" (backprop ⇒ fixed-step)
+    remat: bool = True  # checkpoint each scan step in backprop mode
+    dt0: float = 0.01  # initial trial step (fraction handled by controller)
+    safety: float = 0.9
+    max_factor: float = 10.0
+    min_factor: float = 0.2
+
+    def __post_init__(self) -> None:
+        if self.method not in ("dopri5", "rk4", "euler"):
+            raise ValueError(f"unknown ODE method {self.method!r}")
+        if self.gradient not in ("adjoint", "backprop"):
+            raise ValueError(f"unknown gradient mode {self.gradient!r}")
+        if self.gradient == "backprop" and self.method == "dopri5":
+            raise ValueError(
+                "backprop gradients require a fixed-step method (rk4/euler); "
+                "use gradient='adjoint' with dopri5"
+            )
+
+
+def _as_float(x: Any) -> float:
+    return float(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class ICNFConfig:
+    """Hyperparameters of one ICNF — reference ``ICNF`` fields (icnf.jl:37-50).
+
+    Defaults match the reference constructor (icnf.jl:53-103): augmentation ON
+    (``naugments = nvariables + 1``), non-autonomous, ``tspan = (0, 1)``,
+    ``lambda_1 = lambda_2 = lambda_3 = 0.01``, ``steer_rate = 0.1``, float32,
+    standard-normal base and probe distributions over the augmented dimension.
+    """
+
+    nvariables: int = 1
+    naugments: int = -1  # -1 ⇒ reference default nvariables + 1
+    nconditions: int = 0
+    autonomous: bool = False
+    tspan: Tuple[float, float] = (0.0, 1.0)
+    trace: TraceEstimator = TraceEstimator.HUTCH_VJP
+    probe_dist: ProbeDist = ProbeDist.GAUSSIAN
+    nprobes: int = 1  # reference uses a single fresh probe per solve
+    steer_rate: float = 0.1
+    lambda_1: float = 0.01  # kinetic-energy weight (RNODE)
+    lambda_2: float = 0.01  # Jacobian-Frobenius weight (RNODE)
+    lambda_3: float = 0.01  # terminal augmented-norm weight (ANODE)
+    dtype: Any = jnp.float32
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+
+    def __post_init__(self) -> None:
+        if self.naugments < 0:
+            object.__setattr__(self, "naugments", self.nvariables + 1)
+        if self.nvariables < 1:
+            raise ValueError("nvariables must be >= 1")
+        if not isinstance(self.trace, TraceEstimator):
+            object.__setattr__(self, "trace", TraceEstimator(self.trace))
+        if not isinstance(self.probe_dist, ProbeDist):
+            object.__setattr__(self, "probe_dist", ProbeDist(self.probe_dist))
+        object.__setattr__(self, "tspan", (float(self.tspan[0]), float(self.tspan[1])))
+
+    # ---- derived sizes (reference icnf.jl:62-66, base_icnf.jl:13-21) ----
+
+    @property
+    def augmented(self) -> bool:
+        return self.naugments != 0
+
+    @property
+    def conditioned(self) -> bool:
+        return self.nconditions != 0
+
+    @property
+    def steered(self) -> bool:
+        return self.steer_rate != 0.0
+
+    @property
+    def nz(self) -> int:
+        """Flow-state dimension = nvariables + naugments."""
+        return self.nvariables + self.naugments
+
+    @property
+    def n_aug_input(self) -> int:
+        """Zero-padding width of the input (reference ``n_augments_input``)."""
+        return self.naugments if self.augmented else 0
+
+    @property
+    def state_dim(self) -> int:
+        """Augmented ODE state width: [z, dlogp, E, n] — the two regularization
+        accumulators are always carried (reference ``n_augments == 2``,
+        icnf.jl:143-145)."""
+        return self.nz + 3
+
+    @property
+    def n_in(self) -> int:
+        return self.nz + (0 if self.autonomous else 1) + self.nconditions
+
+    @property
+    def n_out(self) -> int:
+        return self.nz
+
+    @property
+    def norm_z(self) -> bool:
+        return self.lambda_1 != 0.0
+
+    @property
+    def norm_j(self) -> bool:
+        return self.lambda_2 != 0.0
+
+    @property
+    def norm_z_aug(self) -> bool:
+        return self.lambda_3 != 0.0
+
+    def trace_for(self, mode: Mode) -> TraceEstimator:
+        """TEST mode always uses the exact trace (reference types.jl:1-7)."""
+        return TraceEstimator.EXACT if mode is Mode.TEST else self.trace

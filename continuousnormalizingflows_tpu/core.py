@@ -1,0 +1,246 @@
+"""Functional core: ``inference``, ``generate``, ``loss``.
+
+TPU-native re-design of the reference's problem-assembly + solve + extraction
+pipeline (``src/core/base_icnf.jl``): there is no ODEProblem object — each
+entry point pads the state, samples the Hutchinson probe, (optionally) steers
+the end time, runs the differentiable integrator, and splits the terminal
+state.  Everything is a pure function of ``(model, params, data, key)`` so it
+composes with ``jit`` / ``grad`` / ``vmap`` / ``pjit``.
+
+State layout per sample (batch-first): ``[z (nz), Δlogp, E, n]`` — see
+:mod:`continuousnormalizingflows_tpu.ops.dynamics`.
+
+Semantics matched to the reference:
+
+* initial state ``[x; 0_aug; 0; 0; 0]`` (``inference_prob``, base_icnf.jl:196-296)
+* fresh probe ``ε ~ epsdist`` per solve (base_icnf.jl:207-208)
+* steered end time in train mode: ``t1' = t1 + |t1 - t0| * U(-r, r)``
+  (``steer_tspan``, base_icnf.jl:23-39)
+* ``logp̂x = logpdf(basedist, z(t1)) - Δlogp`` (``inference_sol``,
+  base_icnf.jl:142-172)
+* ``generate``: ``z ~ basedist``, integrate the *reversed* span, keep the
+  first ``nvariables`` columns (``generate_prob``/``generate_sol``,
+  base_icnf.jl:298-404)
+* ``loss = mean(-logp̂x + λ1*E + λ2*n + λ3*A)`` with the terminal
+  augmented-norm penalty ``A`` (icnf.jl:605-649, ``reg_z_aug``
+  base_icnf.jl:80-132)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import ICNFConfig, Mode, ProbeDist
+from .models.icnf import ICNF
+from .ops.adjoint import odeint_diff
+from .ops.dynamics import make_augmented_dynamics
+
+__all__ = [
+    "base_logpdf",
+    "sample_base",
+    "sample_probe",
+    "steer_t1",
+    "inference",
+    "generate",
+    "loss",
+    "log_prob",
+]
+
+Pytree = Any
+
+_LOG_2PI = 1.8378770664093453
+
+
+def base_logpdf(cfg: ICNFConfig, z: jax.Array) -> jax.Array:
+    """Standard-normal log-density over the augmented dimension ``nz``
+    (reference ``basedist = MvNormal(0, I)``, icnf.jl:76-79)."""
+    return -0.5 * (cfg.nz * _LOG_2PI + jnp.sum(jnp.square(z), axis=-1))
+
+
+def sample_base(cfg: ICNFConfig, key: jax.Array, n: int) -> jax.Array:
+    return jax.random.normal(key, (n, cfg.nz), cfg.dtype)
+
+
+def sample_probe(cfg: ICNFConfig, key: jax.Array, batch: int) -> jax.Array:
+    """Fresh Hutchinson probes, shape ``(nprobes, batch, nz)``.  The probe
+    width is ``nvariables + n_aug_input == nz`` (base_icnf.jl:207-208)."""
+    shape = (cfg.nprobes, batch, cfg.nz)
+    if cfg.probe_dist is ProbeDist.RADEMACHER:
+        return jax.random.rademacher(key, shape, cfg.dtype)
+    return jax.random.normal(key, shape, cfg.dtype)
+
+
+def steer_t1(cfg: ICNFConfig, key: jax.Array) -> jax.Array:
+    """STEER: randomized end time, train mode only (base_icnf.jl:23-39)."""
+    t0, t1 = cfg.tspan
+    r = jax.random.uniform(
+        key, (), cfg.dtype, minval=-cfg.steer_rate, maxval=cfg.steer_rate
+    )
+    return jnp.asarray(t1, cfg.dtype) + abs(t1 - t0) * r
+
+
+def _solve(
+    icnf: ICNF,
+    mode: Mode,
+    u0: jax.Array,
+    t0,
+    t1,
+    params: Pytree,
+    eps: Optional[jax.Array],
+    ys: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    f_aug = make_augmented_dynamics(icnf.config, icnf.net, mode)
+    args = {"params": params, "eps": eps, "ys": ys}
+    return odeint_diff(f_aug, u0, t0, t1, args, icnf.config.solver)
+
+
+# ---------------------------------------------------------------------------
+# jitted implementations — (icnf, mode) are static, so each model/mode pair
+# compiles once per shape signature and is cached thereafter (the JAX analogue
+# of Julia method specialization on the ICNF type parameters).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _inference_impl(icnf: ICNF, mode: Mode, xs, params, key, ys):
+    cfg = icnf.config
+    batch = xs.shape[0]
+    k_eps, k_steer = jax.random.split(key)
+    train = mode is Mode.TRAIN
+
+    pad = jnp.zeros((batch, cfg.n_aug_input + 3), cfg.dtype)
+    u0 = jnp.concatenate([xs, pad], axis=-1)
+
+    eps = sample_probe(cfg, k_eps, batch) if train else None
+    t0, t1 = cfg.tspan
+    t1 = steer_t1(cfg, k_steer) if (train and cfg.steered) else t1
+
+    u1, nfe = _solve(icnf, mode, u0, t0, t1, params, eps, ys)
+    logpx, augs = _split_terminal(cfg, mode, u1)
+    return logpx, augs, nfe
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _generate_impl(icnf: ICNF, mode: Mode, params, key, n: int, ys):
+    cfg = icnf.config
+    k_base, k_eps, k_steer = jax.random.split(key, 3)
+    train = mode is Mode.TRAIN
+
+    z1 = sample_base(cfg, k_base, n)
+    u0 = jnp.concatenate([z1, jnp.zeros((n, 3), cfg.dtype)], axis=-1)
+
+    eps = sample_probe(cfg, k_eps, n) if train else None
+    t0, t1 = cfg.tspan
+    t1 = steer_t1(cfg, k_steer) if (train and cfg.steered) else t1
+
+    u_final, _nfe = _solve(icnf, mode, u0, t1, t0, params, eps, ys)
+    return u_final[..., : cfg.nvariables]
+
+
+def _split_terminal(cfg: ICNFConfig, mode: Mode, u1: jax.Array):
+    nz = cfg.nz
+    z = u1[..., :nz]
+    dlogp = u1[..., nz]
+    e_acc = u1[..., nz + 1]
+    n_acc = u1[..., nz + 2]
+    logpx = base_logpdf(cfg, z) - dlogp
+    if cfg.augmented and cfg.norm_z_aug and mode is Mode.TRAIN:
+        z_aug = z[..., cfg.nvariables :]
+        a_term = jnp.sqrt(jnp.sum(jnp.square(z_aug), axis=-1))
+    else:
+        a_term = jnp.zeros_like(dlogp)
+    return logpx, (e_acc, n_acc, a_term)
+
+
+def _as_batch(x: jax.Array) -> Tuple[jax.Array, bool]:
+    if x.ndim == 1:
+        return x[None, :], True
+    return x, False
+
+
+def inference(
+    icnf: ICNF,
+    mode: Mode,
+    xs: jax.Array,
+    params: Pytree,
+    key: Optional[jax.Array] = None,
+    ys: Optional[jax.Array] = None,
+):
+    """Forward solve x → z; returns ``(logp̂x, (E, n, A), nfe)``.
+
+    ``xs``: ``(batch, nvariables)`` or a single ``(nvariables,)`` sample (the
+    reference's VectorMode — handled here by a transparent batch-of-1).
+    The extra ``nfe`` output (number of dynamics evaluations) has no reference
+    counterpart in the return value; it surfaces the solver stats the SciML
+    stack keeps in ``sol.stats`` (SURVEY.md §5).
+    """
+    cfg = icnf.config
+    xs = jnp.asarray(xs, cfg.dtype)
+    xs, single = _as_batch(xs)
+    if ys is not None:
+        ys = jnp.asarray(ys, cfg.dtype)
+        ys, _ = _as_batch(ys)
+    if key is None:
+        if mode is Mode.TRAIN:
+            raise ValueError("train mode needs a PRNG key (probe + steer sampling)")
+        key = jax.random.PRNGKey(0)
+
+    logpx, augs, nfe = _inference_impl(icnf, mode, xs, params, key, ys)
+    if single:
+        logpx = logpx[0]
+        augs = tuple(a[0] for a in augs)
+    return logpx, augs, nfe
+
+
+def generate(
+    icnf: ICNF,
+    mode: Mode,
+    params: Pytree,
+    key: jax.Array,
+    n: int,
+    ys: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sample ``n`` points by integrating the flow backward t1 → t0
+    (``generate_prob``, base_icnf.jl:298-404)."""
+    cfg = icnf.config
+    if ys is not None:
+        ys = jnp.asarray(ys, cfg.dtype)
+        ys, _ = _as_batch(ys)
+    return _generate_impl(icnf, mode, params, key, int(n), ys)
+
+
+def loss(
+    icnf: ICNF,
+    mode: Mode,
+    xs: jax.Array,
+    params: Pytree,
+    key: Optional[jax.Array] = None,
+    ys: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Regularized negative log-likelihood
+    ``mean(-logp̂x + λ1*E + λ2*n + λ3*A)`` (icnf.jl:605-649)."""
+    cfg = icnf.config
+    logpx, (e_acc, n_acc, a_term), _nfe = inference(icnf, mode, xs, params, key, ys)
+    return jnp.mean(
+        -logpx
+        + cfg.lambda_1 * e_acc
+        + cfg.lambda_2 * n_acc
+        + cfg.lambda_3 * a_term
+    )
+
+
+def log_prob(
+    icnf: ICNF,
+    mode: Mode,
+    xs: jax.Array,
+    params: Pytree,
+    key: Optional[jax.Array] = None,
+    ys: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Convenience: just ``logp̂x`` — the reference's functor call
+    (base_icnf.jl:509-523)."""
+    return inference(icnf, mode, xs, params, key, ys)[0]

@@ -1,0 +1,251 @@
+"""JAX/XLA-native ODE integrators over arbitrary pytree states.
+
+The reference outsources integration to SciML's VCABM (adaptive-order
+Adams-Bashforth-Moulton, reference ``src/core/icnf.jl:84-89``) with host-side
+step control.  A multistep state machine maps poorly onto XLA, so the
+TPU-native design uses:
+
+* ``dopri5`` — embedded Dormand-Prince 5(4) with FSAL and a PI step-size
+  controller, driven by a single ``lax.while_loop`` whose whole body is traced
+  once: no host round-trips, static shapes, the accept/reject decision is a
+  scalar ``lax.select``.  Error control (``rtol = atol = 1e-4`` by default)
+  matches the reference's tolerances.  Under ``pjit`` with a sharded batch the
+  error norm is a *global* reduction, so every device takes identical steps —
+  the collective-consistent adaptivity required for SPMD (SURVEY.md §5).
+* ``rk4`` / ``euler`` — fixed-step ``lax.scan`` paths: reverse-differentiable
+  (discretize-then-optimize) with optional per-step rematerialization
+  (``jax.checkpoint``) to trade FLOPs for HBM.
+
+All integrators share the signature ``odeint(f, y0, t0, t1, args, cfg)`` with
+``f(t, y, args) -> dy`` over pytrees and return ``(y1, nfe)`` — only the final
+state is kept (reference ``save_everystep = false``, ``base_icnf.jl:134-140``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SolverConfig
+
+__all__ = ["odeint", "odeint_fixed", "odeint_dopri5"]
+
+Pytree = Any
+ODEFunc = Callable[[jax.Array, Pytree, Pytree], Pytree]
+
+# ---------------------------------------------------------------------------
+# pytree helpers
+# ---------------------------------------------------------------------------
+
+
+def _tree_add_scaled(y: Pytree, dt: jax.Array, *terms: Tuple[float, Pytree]) -> Pytree:
+    """y + dt * sum_i c_i * k_i  (skipping zero coefficients)."""
+    coeffs = [c for c, _ in terms if c != 0.0]
+    ks = [k for c, k in terms if c != 0.0]
+
+    def combine(y_leaf, *k_leaves):
+        acc = y_leaf
+        for c, k in zip(coeffs, k_leaves):
+            acc = acc + dt * c * k
+        return acc
+
+    return jax.tree_util.tree_map(combine, y, *ks)
+
+
+def _tree_scaled_sum(dt: jax.Array, *terms: Tuple[float, Pytree]) -> Pytree:
+    coeffs = [c for c, _ in terms if c != 0.0]
+    ks = [k for c, k in terms if c != 0.0]
+
+    def combine(*k_leaves):
+        acc = dt * coeffs[0] * k_leaves[0]
+        for c, k in zip(coeffs[1:], k_leaves[1:]):
+            acc = acc + dt * c * k
+        return acc
+
+    return jax.tree_util.tree_map(combine, *ks)
+
+
+def _rms_error_ratio(err: Pytree, y0: Pytree, y1: Pytree, rtol: float, atol: float) -> jax.Array:
+    """RMS of err / (atol + rtol * max(|y0|, |y1|)) over every state element.
+
+    One scalar for the whole (possibly sharded) batch — the reference likewise
+    runs one adaptive solve over the full d x n matrix state, sharing step
+    sizes across samples (SURVEY.md §2.9).
+    """
+    sq_sum = 0.0
+    count = 0.0
+    for e, a, b in zip(
+        jax.tree_util.tree_leaves(err),
+        jax.tree_util.tree_leaves(y0),
+        jax.tree_util.tree_leaves(y1),
+    ):
+        scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+        r = (e / scale).astype(jnp.float32)
+        sq_sum = sq_sum + jnp.sum(r * r)
+        count = count + r.size
+    return jnp.sqrt(sq_sum / count)
+
+
+def _time_dtype(y0: Pytree):
+    leaves = jax.tree_util.tree_leaves(y0)
+    dt = leaves[0].dtype if leaves else jnp.float32
+    return dt if jnp.issubdtype(dt, jnp.floating) else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Dormand-Prince 5(4) tableau (FSAL)
+# ---------------------------------------------------------------------------
+
+_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40)
+_BERR = tuple(b5 - b4 for b5, b4 in zip(_B5, _B4))
+
+
+def _dopri5_step(f: ODEFunc, t: jax.Array, y: Pytree, dt: jax.Array, k1: Pytree, args: Pytree):
+    """One trial step. ``k1 = f(t, y, args)`` is supplied (FSAL). Returns
+    ``(y5, err, k7)`` where ``k7 = f(t + dt, y5, args)`` seeds the next step."""
+    ks = [k1]
+    for i in range(1, 6):
+        yi = _tree_add_scaled(y, dt, *zip(_A[i], ks))
+        ks.append(f(t + _C[i] * dt, yi, args))
+    y5 = _tree_add_scaled(y, dt, *zip(_A[6], ks))
+    k7 = f(t + dt, y5, args)
+    ks.append(k7)
+    err = _tree_scaled_sum(dt, *zip(_BERR, ks))
+    return y5, err, k7
+
+
+def odeint_dopri5(
+    f: ODEFunc,
+    y0: Pytree,
+    t0: jax.Array,
+    t1: jax.Array,
+    args: Pytree,
+    cfg: SolverConfig,
+) -> Tuple[Pytree, jax.Array]:
+    """Adaptive Dormand-Prince 5(4) under ``lax.while_loop``. Not
+    reverse-differentiable directly — wrap with the continuous adjoint
+    (:mod:`continuousnormalizingflows_tpu.ops.adjoint`) for gradients."""
+    tdt = _time_dtype(y0)
+    t0 = jnp.asarray(t0, tdt)
+    t1 = jnp.asarray(t1, tdt)
+    span = t1 - t0
+    direction = jnp.sign(span)
+    tiny = jnp.asarray(1e-12, tdt)
+
+    k1 = f(t0, y0, args)
+    dt_init = span * jnp.asarray(cfg.dt0, tdt)
+
+    inv_order = 1.0 / 5.0
+
+    def cond(state):
+        t, _y, _dt, _k1, nfe, steps, done = state
+        return jnp.logical_and(jnp.logical_not(done), steps < cfg.max_steps)
+
+    def body(state):
+        t, y, dt, k1, nfe, steps, _done = state
+        remaining = t1 - t
+        # clamp the trial step so we can land exactly on t1
+        dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
+        y5, err, k7 = _dopri5_step(f, t, y, dt_c, k1, args)
+        ratio = _rms_error_ratio(err, y, y5, cfg.rtol, cfg.atol)
+        accept = ratio <= 1.0
+
+        factor = jnp.clip(
+            cfg.safety * jnp.power(jnp.maximum(ratio, 1e-10), -inv_order),
+            cfg.min_factor,
+            cfg.max_factor,
+        ).astype(tdt)
+        dt_next = dt_c * factor
+
+        t_new = jnp.where(accept, t + dt_c, t)
+        y_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), y5, y
+        )
+        k_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), k7, k1
+        )
+        done = jnp.logical_and(accept, jnp.abs(t1 - t_new) <= tiny * jnp.maximum(jnp.abs(t1), 1.0))
+        return (t_new, y_new, dt_next, k_new, nfe + 6, steps + 1, done)
+
+    state0 = (t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.asarray(False))
+    _t, y1, _dt, _k, nfe, _steps, _done = lax.while_loop(cond, body, state0)
+    return y1, nfe
+
+
+# ---------------------------------------------------------------------------
+# fixed-step methods (lax.scan; reverse-differentiable)
+# ---------------------------------------------------------------------------
+
+
+def _rk4_step(f: ODEFunc, t: jax.Array, y: Pytree, dt: jax.Array, args: Pytree) -> Pytree:
+    k1 = f(t, y, args)
+    k2 = f(t + 0.5 * dt, _tree_add_scaled(y, dt, (0.5, k1)), args)
+    k3 = f(t + 0.5 * dt, _tree_add_scaled(y, dt, (0.5, k2)), args)
+    k4 = f(t + dt, _tree_add_scaled(y, dt, (1.0, k3)), args)
+    return _tree_add_scaled(y, dt, (1 / 6, k1), (1 / 3, k2), (1 / 3, k3), (1 / 6, k4))
+
+
+def _euler_step(f: ODEFunc, t: jax.Array, y: Pytree, dt: jax.Array, args: Pytree) -> Pytree:
+    return _tree_add_scaled(y, dt, (1.0, f(t, y, args)))
+
+
+def odeint_fixed(
+    f: ODEFunc,
+    y0: Pytree,
+    t0: jax.Array,
+    t1: jax.Array,
+    args: Pytree,
+    cfg: SolverConfig,
+) -> Tuple[Pytree, jax.Array]:
+    """Fixed-step integration via ``lax.scan`` — static step count, so XLA sees
+    a bounded unrolled-in-time program it can pipeline, and reverse-mode AD
+    (discretize-then-optimize) works out of the box.  ``cfg.remat`` wraps each
+    step in ``jax.checkpoint`` so backprop memory is O(steps) small residuals
+    instead of the full RK stage tree."""
+    tdt = _time_dtype(y0)
+    t0 = jnp.asarray(t0, tdt)
+    t1 = jnp.asarray(t1, tdt)
+    n = int(cfg.fixed_steps)
+    dt = (t1 - t0) / n
+    step = {"rk4": _rk4_step, "euler": _euler_step}[cfg.method]
+    evals = {"rk4": 4, "euler": 1}[cfg.method]
+
+    def body(y, i):
+        t = t0 + i.astype(tdt) * dt
+        return step(f, t, y, dt, args), None
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+
+    y1, _ = lax.scan(body, y0, jnp.arange(n))
+    return y1, jnp.int32(evals * n)
+
+
+def odeint(
+    f: ODEFunc,
+    y0: Pytree,
+    t0: jax.Array,
+    t1: jax.Array,
+    args: Pytree,
+    cfg: SolverConfig,
+) -> Tuple[Pytree, jax.Array]:
+    """Dispatch on ``cfg.method``. Gradient handling lives one level up
+    (``ops.adjoint.odeint_diff``)."""
+    if cfg.method == "dopri5":
+        return odeint_dopri5(f, y0, t0, t1, args, cfg)
+    return odeint_fixed(f, y0, t0, t1, args, cfg)

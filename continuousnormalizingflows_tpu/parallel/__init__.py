@@ -1,0 +1,17 @@
+from .mesh import (
+    data_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicated,
+    shard_batch_arrays,
+    shard_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_batch_arrays",
+    "shard_train_step",
+    "initialize_distributed",
+]

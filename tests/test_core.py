@@ -1,0 +1,172 @@
+"""Core API smoke sweep + analytic correctness anchors.
+
+Modeled on the reference's cartesian smoke sweep (test/ci_tests/smoke_tests.jl)
+but with *numeric* assertions instead of `!isnothing` existence checks, plus a
+closed-form linear-flow check the reference does not have.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import continuousnormalizingflows_tpu as cnf
+from continuousnormalizingflows_tpu.config import Mode, SolverConfig, TraceEstimator
+from continuousnormalizingflows_tpu.models.nets import MLP, Planar
+
+# fast solver configs for the sweep
+FAST_ADAPTIVE = SolverConfig(method="dopri5", rtol=1e-3, atol=1e-3, max_steps=512)
+FAST_FIXED = SolverConfig(method="rk4", gradient="backprop", fixed_steps=16)
+
+
+def make(nvariables=2, planar=False, **kw):
+    kw.setdefault("solver", FAST_FIXED)
+    if planar:
+        from continuousnormalizingflows_tpu.config import ICNFConfig
+
+        cfg = cnf.ICNFConfig(nvariables=nvariables, solver=kw["solver"], **{
+            k: v for k, v in kw.items() if k != "solver"
+        })
+        net = Planar(cfg.n_in, cfg.n_out)
+        return cnf.ICNF(config=cfg, net=net)
+    return cnf.ICNF.create(nvariables=nvariables, **kw)
+
+
+@pytest.mark.parametrize("mode", [Mode.TRAIN, Mode.TEST])
+@pytest.mark.parametrize("trace", [TraceEstimator.HUTCH_VJP, TraceEstimator.HUTCH_JVP])
+@pytest.mark.parametrize("conditioned", [False, True])
+@pytest.mark.parametrize("planar", [False, True])
+def test_smoke_sweep(mode, trace, conditioned, planar):
+    """inference / generate / loss / grads across the variant lattice
+    (reference smoke_tests.jl:2-8 sweep, 4 samples x 2 dims)."""
+    ncond = 2 if conditioned else 0
+    icnf = make(nvariables=2, planar=planar, trace=trace, nconditions=ncond)
+    key = jax.random.PRNGKey(0)
+    params = icnf.init(key)
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    ys = jnp.ones((4, ncond)) if conditioned else None
+
+    lp, (e, n, a), nfe = cnf.inference(icnf, mode, x, params, key=key, ys=ys)
+    assert lp.shape == (4,) and jnp.all(jnp.isfinite(lp))
+    for acc in (e, n, a):
+        assert acc.shape == (4,) and jnp.all(jnp.isfinite(acc))
+    if mode is Mode.TEST:
+        assert jnp.all(e == 0) and jnp.all(n == 0) and jnp.all(a == 0)
+
+    gen_ys = ys[:3] if conditioned else None
+    samples = cnf.generate(icnf, mode, params, jax.random.PRNGKey(2), 3, ys=gen_ys)
+    assert samples.shape == (3, 2) and jnp.all(jnp.isfinite(samples))
+
+    l = cnf.loss(icnf, mode, x, params, key=key, ys=ys)
+    assert jnp.isfinite(l)
+
+    # gradients w.r.t. params AND inputs (reference smoke_tests.jl:68-133)
+    gp = jax.grad(lambda p: cnf.loss(icnf, mode, x, p, key=key, ys=ys))(params)
+    gsum = sum(jnp.sum(jnp.abs(leaf)) for leaf in jax.tree_util.tree_leaves(gp))
+    assert jnp.isfinite(gsum) and gsum > 0
+    gx = jax.grad(lambda xx: cnf.loss(icnf, mode, xx, params, key=key, ys=ys))(x)
+    assert gx.shape == x.shape and jnp.all(jnp.isfinite(gx))
+
+
+def test_vector_mode_single_sample():
+    """A 1-D input behaves as the reference's VectorMode: scalar outputs."""
+    icnf = make(nvariables=2)
+    params = icnf.init(jax.random.PRNGKey(0))
+    x = jnp.array([0.1, -0.2])
+    lp, (e, n, a), _ = cnf.inference(icnf, Mode.TRAIN, x, params, key=jax.random.PRNGKey(1))
+    assert lp.shape == () and e.shape == ()
+
+
+def test_train_requires_key():
+    icnf = make()
+    params = icnf.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        cnf.inference(icnf, Mode.TRAIN, jnp.zeros((2, 2)), params)
+
+
+def test_test_mode_deterministic():
+    icnf = make()
+    params = icnf.init(jax.random.PRNGKey(0))
+    x = jnp.ones((3, 2)) * 0.3
+    lp1, _, _ = cnf.inference(icnf, Mode.TEST, x, params)
+    lp2, _, _ = cnf.inference(icnf, Mode.TEST, x, params, key=jax.random.PRNGKey(42))
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2))
+
+
+def test_steer_changes_t1():
+    """STEER randomizes the end time in train mode only (base_icnf.jl:23-39)."""
+    icnf = make(steer_rate=0.3, lambda_1=0.0, lambda_2=0.0, lambda_3=0.0)
+    params = icnf.init(jax.random.PRNGKey(0))
+    x = jnp.ones((4, 2)) * 0.2
+    lps = [
+        float(cnf.loss(icnf, Mode.TRAIN, x, params, key=jax.random.PRNGKey(s)))
+        for s in range(3)
+    ]
+    assert len(set(lps)) > 1  # different steered spans -> different losses
+
+
+class TestAnalyticLinearFlow:
+    """For linear dynamics dz/dt = A z (autonomous, unaugmented, exact trace):
+    z(1) = e^A z(0) and logp(x) = logN(e^A x) + tr(A) — closed form."""
+
+    def _model(self, A):
+        d = A.shape[0]
+        net = MLP((d, d))
+        icnf = cnf.ICNF(
+            config=cnf.ICNFConfig(
+                nvariables=d,
+                naugments=0,
+                autonomous=True,
+                lambda_1=0.0,
+                lambda_2=0.0,
+                lambda_3=0.0,
+                steer_rate=0.0,
+                solver=SolverConfig(rtol=1e-6, atol=1e-6),
+            ),
+            net=net,
+        )
+        params = [{"w": A.T, "b": jnp.zeros((d,))}]  # x @ A.T = A x
+        return icnf, params
+
+    def test_logpdf_matches_closed_form(self):
+        A = jnp.array([[0.3, 0.1], [-0.2, 0.4]])
+        icnf, params = self._model(A)
+        x = jax.random.normal(jax.random.PRNGKey(0), (6, 2))
+
+        lp, _, _ = cnf.inference(icnf, Mode.TEST, x, params)
+
+        import scipy.linalg
+
+        eA = jnp.asarray(scipy.linalg.expm(np.asarray(A)))
+        z1 = x @ eA.T
+        expected = -0.5 * (2 * np.log(2 * np.pi) + jnp.sum(z1**2, -1)) + jnp.trace(A)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(expected), rtol=1e-4, atol=1e-4)
+
+    def test_generate_roundtrip_density(self):
+        """generate() then inference(): samples from base pushed backward
+        land where the model assigns mass."""
+        A = 0.2 * jnp.eye(2)
+        icnf, params = self._model(A)
+        samples = cnf.generate(icnf, Mode.TEST, params, jax.random.PRNGKey(1), 512)
+        # backward map is x = e^{-A} z, z ~ N(0, I) => x ~ N(0, e^{-2*0.2} I)
+        var = np.var(np.asarray(samples))
+        assert abs(var - np.exp(-0.4)) < 0.1
+
+
+def test_exact_vs_hutchinson_consistency():
+    """TEST-mode exact logpx ≈ TRAIN-mode Hutchinson logpx with many probes
+    (no regularization, no steer) — the BASELINE.json config-2 parity check."""
+    icnf_t = cnf.ICNF.create(
+        nvariables=2,
+        lambda_1=0.0,
+        lambda_2=0.0,
+        lambda_3=0.0,
+        steer_rate=0.0,
+        nprobes=512,
+        solver=SolverConfig(rtol=1e-5, atol=1e-5),
+    )
+    params = icnf_t.init(jax.random.PRNGKey(0))
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    lp_exact, _, _ = cnf.inference(icnf_t, Mode.TEST, x, params)
+    lp_hutch, _, _ = cnf.inference(icnf_t, Mode.TRAIN, x, params, key=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(lp_exact), np.asarray(lp_hutch), rtol=0.05, atol=0.1)

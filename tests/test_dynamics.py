@@ -1,0 +1,132 @@
+"""Trace-estimator correctness (reference ``icnf_jacobian`` engine, utils.jl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from continuousnormalizingflows_tpu.config import ICNFConfig, Mode, SolverConfig, TraceEstimator
+from continuousnormalizingflows_tpu.models.icnf import ICNF, default_net
+from continuousnormalizingflows_tpu.ops.dynamics import make_augmented_dynamics, make_field
+
+
+def make_model(**kw):
+    kw.setdefault("nvariables", 2)
+    return ICNF.create(**kw)
+
+
+def reference_divergence(icnf, params, t, z):
+    """Brute-force per-sample divergence via jax.jacfwd."""
+    field = make_field(icnf.config, icnf.net)
+
+    def single(zi):
+        return field(t, zi[None, :], params, None)[0]
+
+    jac = jax.vmap(jax.jacfwd(single))(z)  # (batch, nz, nz)
+    return jnp.trace(jac, axis1=-2, axis2=-1), jac
+
+
+class TestExactTrace:
+    def test_matches_jacfwd(self):
+        icnf = make_model()
+        params = icnf.init(jax.random.PRNGKey(0))
+        f_aug = jax.jit(make_augmented_dynamics(icnf.config, icnf.net, Mode.TEST))
+        nz = icnf.config.nz
+        u = jax.random.normal(jax.random.PRNGKey(1), (5, icnf.config.state_dim))
+        du = f_aug(0.3, u, {"params": params, "eps": None, "ys": None})
+        div_ref, _ = reference_divergence(icnf, params, 0.3, u[:, :nz])
+        np.testing.assert_allclose(np.asarray(du[:, nz]), -np.asarray(div_ref), rtol=1e-4, atol=1e-5)
+        # TestMode regularization accumulators are zero (reference fallback
+        # reg_z/reg_j methods, icnf.jl:180-251)
+        assert jnp.all(du[:, nz + 1 :] == 0.0)
+
+
+class TestHutchinson:
+    @pytest.mark.parametrize("trace", [TraceEstimator.HUTCH_VJP, TraceEstimator.HUTCH_JVP])
+    def test_unbiased(self, trace):
+        """Mean over many Gaussian probes converges to the exact trace."""
+        nprobes = 1024
+        icnf = make_model(trace=trace, nprobes=nprobes)
+        params = icnf.init(jax.random.PRNGKey(0))
+        f_aug = jax.jit(make_augmented_dynamics(icnf.config, icnf.net, Mode.TRAIN))
+        nz = icnf.config.nz
+        batch = 3
+        u = jax.random.normal(jax.random.PRNGKey(1), (batch, icnf.config.state_dim))
+        eps = jax.random.normal(jax.random.PRNGKey(2), (nprobes, batch, nz))
+        du = f_aug(0.3, u, {"params": params, "eps": eps, "ys": None})
+        div_ref, _ = reference_divergence(icnf, params, 0.3, u[:, :nz])
+        np.testing.assert_allclose(np.asarray(-du[:, nz]), np.asarray(div_ref), rtol=0.15, atol=0.05)
+
+    def test_vjp_jvp_same_probe_contraction(self):
+        """eps^T (J eps) == (eps^T J) eps exactly for the same probe."""
+        nz = None
+        models = {}
+        for tr in (TraceEstimator.HUTCH_VJP, TraceEstimator.HUTCH_JVP):
+            m = make_model(trace=tr)
+            models[tr] = m
+        params = models[TraceEstimator.HUTCH_VJP].init(jax.random.PRNGKey(0))
+        nz = models[TraceEstimator.HUTCH_VJP].config.nz
+        u = jax.random.normal(jax.random.PRNGKey(1), (4, nz + 3))
+        eps = jax.random.normal(jax.random.PRNGKey(2), (1, 4, nz))
+        outs = []
+        for tr, m in models.items():
+            f_aug = jax.jit(make_augmented_dynamics(m.config, m.net, Mode.TRAIN))
+            outs.append(f_aug(0.5, u, {"params": params, "eps": eps, "ys": None}))
+        np.testing.assert_allclose(
+            np.asarray(outs[0][:, nz]), np.asarray(outs[1][:, nz]), rtol=5e-3, atol=1e-4
+        )
+
+    def test_reg_states(self):
+        """reg_z = ||dz||, reg_j = ||eps^T J|| per sample (icnf.jl:163-251)."""
+        icnf = make_model()
+        params = icnf.init(jax.random.PRNGKey(0))
+        cfg = icnf.config
+        nz = cfg.nz
+        f_aug = jax.jit(make_augmented_dynamics(cfg, icnf.net, Mode.TRAIN))
+        u = jax.random.normal(jax.random.PRNGKey(1), (4, cfg.state_dim))
+        eps = jax.random.normal(jax.random.PRNGKey(2), (1, 4, nz))
+        du = f_aug(0.5, u, {"params": params, "eps": eps, "ys": None})
+        dz = du[:, :nz]
+        np.testing.assert_allclose(
+            np.asarray(du[:, nz + 1]),
+            np.linalg.norm(np.asarray(dz), axis=-1),
+            rtol=5e-3,
+        )
+        # reg_j against explicit eps^T J
+        _, jac = reference_divergence(icnf, params, 0.5, u[:, :nz])
+        eps_j = jnp.einsum("bi,bij->bj", eps[0], jac)
+        np.testing.assert_allclose(
+            np.asarray(du[:, nz + 2]),
+            np.linalg.norm(np.asarray(eps_j), axis=-1),
+            rtol=1e-2,
+            atol=1e-4,
+        )
+
+
+class TestFieldInjection:
+    def test_time_column(self):
+        """Non-autonomous models see t; autonomous models must not."""
+        icnf_na = make_model(autonomous=False)
+        params = icnf_na.init(jax.random.PRNGKey(0))
+        field = make_field(icnf_na.config, icnf_na.net)
+        z = jnp.ones((2, icnf_na.config.nz))
+        out0 = field(0.0, z, params, None)
+        out1 = field(0.9, z, params, None)
+        assert not jnp.allclose(out0, out1)
+
+        icnf_a = make_model(autonomous=True)
+        params_a = icnf_a.init(jax.random.PRNGKey(0))
+        field_a = make_field(icnf_a.config, icnf_a.net)
+        za = jnp.ones((2, icnf_a.config.nz))
+        assert jnp.allclose(field_a(0.0, za, params_a, None), field_a(0.9, za, params_a, None))
+
+    def test_condition_column(self):
+        icnf = make_model(nconditions=3)
+        params = icnf.init(jax.random.PRNGKey(0))
+        field = make_field(icnf.config, icnf.net)
+        z = jnp.ones((2, icnf.config.nz))
+        ys0 = jnp.zeros((2, 3))
+        ys1 = jnp.ones((2, 3))
+        assert not jnp.allclose(field(0.1, z, params, ys0), field(0.1, z, params, ys1))
+        with pytest.raises(ValueError):
+            field(0.1, z, params, None)

@@ -1,0 +1,133 @@
+"""Integrator correctness: accuracy, reverse spans, pytree states, gradients.
+
+All solves run under ``jax.jit`` — eager ``lax.while_loop`` dispatches op-by-op
+and is orders of magnitude slower; jit-first is also how the library invokes
+the integrators (core.py jits at the API boundary).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from continuousnormalizingflows_tpu.config import SolverConfig
+from continuousnormalizingflows_tpu.ops.adjoint import odeint_diff
+from continuousnormalizingflows_tpu.ops.ode import odeint, odeint_dopri5, odeint_fixed
+
+
+def f_decay(t, y, args):
+    return -y
+
+
+def f_linear(t, y, args):
+    return args * y
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def jsolve(f, y0, t0, t1, args, cfg):
+    return odeint(f, y0, t0, t1, args, cfg)
+
+
+class TestAccuracy:
+    def test_dopri5_exponential(self):
+        y0 = jnp.ones((4, 3))
+        y1, nfe = jsolve(f_decay, y0, 0.0, 1.0, None, SolverConfig())
+        assert jnp.max(jnp.abs(y1 - jnp.exp(-1.0))) < 1e-4
+        assert int(nfe) > 6
+
+    @pytest.mark.parametrize("method,tol", [("rk4", 1e-5), ("euler", 5e-2)])
+    def test_fixed_exponential(self, method, tol):
+        cfg = SolverConfig(method=method, gradient="backprop", fixed_steps=64)
+        y0 = jnp.ones((2, 2))
+        y1, _ = jsolve(f_decay, y0, 0.0, 1.0, None, cfg)
+        assert jnp.max(jnp.abs(y1 - jnp.exp(-1.0))) < tol
+
+    def test_reverse_span(self):
+        """Integrating backward must invert the forward map."""
+        cfg = SolverConfig(rtol=1e-6, atol=1e-6)
+        y0 = jnp.array([[1.0, 2.0]])
+        y1, _ = jsolve(f_decay, y0, 0.0, 1.0, None, cfg)
+        y0_rec, _ = jsolve(f_decay, y1, 1.0, 0.0, None, cfg)
+        assert jnp.max(jnp.abs(y0_rec - y0)) < 1e-4
+
+    def test_pytree_state(self):
+        def f(t, y, args):
+            return {"a": -y["a"], "b": 2.0 * y["b"]}
+
+        y0 = {"a": jnp.ones((3,)), "b": jnp.ones((2, 2))}
+        y1, _ = jsolve(f, y0, 0.0, 1.0, None, SolverConfig())
+        assert jnp.max(jnp.abs(y1["a"] - jnp.exp(-1.0))) < 1e-4
+        assert jnp.max(jnp.abs(y1["b"] - jnp.exp(2.0))) < 1e-2
+
+    def test_traced_endpoint(self):
+        """t1 may be a traced scalar (STEER) — must work under jit."""
+
+        @jax.jit
+        def run(t1):
+            y1, _ = odeint_dopri5(f_decay, jnp.ones((2,)), 0.0, t1, None, SolverConfig())
+            return y1
+
+        out = run(jnp.float32(0.5))
+        assert jnp.max(jnp.abs(out - jnp.exp(-0.5))) < 1e-4
+
+
+class TestGradients:
+    def test_backprop_through_scan(self):
+        cfg = SolverConfig(method="rk4", gradient="backprop", fixed_steps=32)
+
+        @jax.jit
+        def grad_a(a):
+            def run(a_):
+                y1, _ = odeint_diff(f_linear, jnp.ones((2,)), 0.0, 1.0, a_, cfg)
+                return jnp.sum(y1)
+
+            return jax.grad(run)(a)
+
+        g = grad_a(jnp.float32(0.3))
+        # d/da sum(e^a * 1) over 2 elements = 2 e^a
+        assert abs(float(g) - 2 * jnp.exp(0.3)) < 1e-3
+
+    def test_adjoint_matches_analytic(self):
+        cfg = SolverConfig(method="dopri5", gradient="adjoint", rtol=1e-6, atol=1e-6)
+
+        @jax.jit
+        def grads(a, y0):
+            def run(a_, y0_):
+                y1, _ = odeint_diff(f_linear, y0_, 0.0, 1.0, a_, cfg)
+                return jnp.sum(y1)
+
+            return jax.grad(run, argnums=(0, 1))(a, y0)
+
+        ga, gy0 = grads(jnp.float32(0.3), jnp.array([1.0, 2.0]))
+        assert abs(float(ga) - 3 * jnp.exp(0.3)) < 1e-3  # sum(y0) * e^a
+        assert jnp.max(jnp.abs(gy0 - jnp.exp(0.3))) < 1e-3  # e^a per element
+
+    def test_adjoint_matches_backprop(self):
+        """Continuous adjoint and discretize-then-optimize must agree on a
+        smooth problem within tolerance."""
+
+        def f(t, y, args):
+            return jnp.tanh(y @ args["w"])
+
+        w = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (3, 3))
+        y0 = jax.random.normal(jax.random.PRNGKey(1), (4, 3))
+
+        cfg_bp = SolverConfig(method="rk4", gradient="backprop", fixed_steps=64)
+        cfg_adj = SolverConfig(method="dopri5", gradient="adjoint", rtol=1e-7, atol=1e-7)
+
+        def make_grads(cfg):
+            @jax.jit
+            def grads(w_, y0_):
+                def run(w__, y0__):
+                    y1, _ = odeint_diff(f, y0__, 0.0, 1.0, {"w": w__}, cfg)
+                    return jnp.sum(jnp.square(y1))
+
+                return jax.grad(run, argnums=(0, 1))(w_, y0_)
+
+            return grads
+
+        g_bp = make_grads(cfg_bp)(w, y0)
+        g_adj = make_grads(cfg_adj)(w, y0)
+        for a, b in zip(g_bp, g_adj):
+            assert jnp.max(jnp.abs(a - b)) < 1e-3

@@ -1,0 +1,115 @@
+"""Estimator facade + end-to-end regression fit.
+
+The regression test mirrors the reference's only end-to-end accuracy check
+(test/ci_tests/regression_tests.jl: 2^10 samples of 1-D Beta(2,4), default
+ICNF, full-batch Adam) but — unlike the reference, which only ``@show``s the
+metrics — asserts hard thresholds on mean-absolute-deviation and total
+variation of the fitted density (SURVEY.md §4 calls this gap out).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import continuousnormalizingflows_tpu as cnf
+from continuousnormalizingflows_tpu.config import Mode, SolverConfig
+from continuousnormalizingflows_tpu.utils import datasets, load_checkpoint, save_checkpoint
+
+FAST_TRAIN = SolverConfig(method="rk4", gradient="backprop", fixed_steps=24)
+
+
+@pytest.fixture(scope="module")
+def beta_fit():
+    """Fit once, reuse across assertions (fitting is the expensive part).
+
+    Uses an *unaugmented* RNODE (naugments=0): with the reference-default
+    augmentation the reported density is a joint-density slice at zero padding
+    and is not normalized over x — the reference compares it to the true pdf
+    anyway but never asserts (regression_tests.jl:25-28); to assert hard
+    thresholds the density must be a real density."""
+    key = jax.random.PRNGKey(7)
+    x = datasets.beta_samples(key, 1024)
+    icnf = cnf.ICNF.create(nvariables=1, naugments=0, lambda_3=0.0, solver=FAST_TRAIN)
+    model = cnf.ICNFModel(icnf, batchsize=0, epochs=300, key=jax.random.PRNGKey(1))
+    result = model.fit(x)
+    return icnf, model, result, x
+
+
+def test_regression_beta(beta_fit):
+    icnf, model, result, x = beta_fit
+    assert np.isfinite(result.stats["final_loss"])
+    # loss must actually decrease
+    assert result.history[-1] < result.history[0] - 0.1
+
+    r = jnp.linspace(0.02, 0.98, 128)[:, None]
+    est_pdf = np.asarray(model.transform(r, result.params))
+    true_pdf = np.asarray(datasets.beta_pdf(r[:, 0]))
+
+    mad = np.mean(np.abs(est_pdf - true_pdf))
+    tv = 0.5 * np.mean(np.abs(est_pdf - true_pdf))
+    assert mad < 0.45, f"meanad too high: {mad}"
+    assert tv < 0.25, f"total variation too high: {tv}"
+
+
+def test_fitresult_stats(beta_fit):
+    _icnf, _model, result, _x = beta_fit
+    assert result.stats["iterations"] == 300
+    assert result.stats["epochs"] == 300
+    assert len(result.history) >= 4
+
+
+def test_checkpoint_roundtrip(tmp_path, beta_fit):
+    _icnf, _model, result, _x = beta_fit
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, result.params, opt_state=None, step=300)
+    params2, opt2, step = load_checkpoint(path)
+    assert step == 300 and opt2 is None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(result.params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warm_start(beta_fit):
+    """fit(params=...) resumes from given params instead of re-initializing."""
+    icnf, _model, result, x = beta_fit
+    model2 = cnf.ICNFModel(icnf, batchsize=0, epochs=1, key=jax.random.PRNGKey(2))
+    res2 = model2.fit(x, params=result.params)
+    # one extra epoch from a converged fit shouldn't blow up the loss
+    assert res2.stats["final_loss"] < result.history[0]
+
+
+def test_conditional_model_runs():
+    icnf = cnf.ICNF.create(nvariables=2, nconditions=1, solver=FAST_TRAIN)
+    n = 64
+    key = jax.random.PRNGKey(0)
+    y = jax.random.bernoulli(key, 0.5, (n, 1)).astype(jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, 2)) + 2.0 * y
+    model = cnf.CondICNFModel(icnf, batchsize=32, epochs=2, key=jax.random.PRNGKey(2))
+    result = model.fit(x, y)
+    assert np.isfinite(result.stats["final_loss"])
+    px = model.transform(x[:8], result.params, Y=y[:8])
+    assert px.shape == (8,) and bool(jnp.all(px >= 0))
+
+
+def test_conditional_model_requires_y():
+    icnf = cnf.ICNF.create(nvariables=2, nconditions=1, solver=FAST_TRAIN)
+    model = cnf.CondICNFModel(icnf, epochs=1)
+    with pytest.raises(ValueError):
+        model.fit(jnp.zeros((8, 2)))
+
+
+def test_cond_model_rejects_unconditional_icnf():
+    icnf = cnf.ICNF.create(nvariables=2, solver=FAST_TRAIN)
+    with pytest.raises(ValueError):
+        cnf.CondICNFModel(icnf)
+
+
+def test_batching_shapes():
+    icnf = cnf.ICNF.create(nvariables=1, solver=FAST_TRAIN)
+    model = cnf.ICNFModel(icnf, batchsize=32, epochs=1)
+    batches = model._batches(jax.random.PRNGKey(0), 100)
+    assert batches.shape == (3, 32)  # static shapes, remainder dropped
+    full = model._batches(jax.random.PRNGKey(0), 20)
+    assert full.shape == (1, 20)  # batchsize > n: whole dataset

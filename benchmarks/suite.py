@@ -1,0 +1,87 @@
+"""Benchmark suite — mirror of the reference ``benchmark/benchmarks.jl``.
+
+The reference benchmarks four things on the 1-D Beta(2,4) n=1024 default-ICNF
+config (benchmarks.jl:74-117): loss forward in TrainMode (Hutchinson) and
+TestMode (exact trace), and the Zygote gradient of each, for out-of-place and
+in-place variants.  JAX has one (functional) style, so the matrix here is
+{TrainMode, TestMode} x {forward, gradient} x {adjoint, backprop-scan}.
+
+Prints a table; ``--json`` emits machine-readable lines (the PR-gate analogue
+of the reference's BenchmarkCI judgement is ``bench.py`` + the driver's
+BENCH_r{N}.json history).
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+import continuousnormalizingflows_tpu as cnf
+from continuousnormalizingflows_tpu.config import Mode, SolverConfig
+from continuousnormalizingflows_tpu.utils import datasets
+
+N = 1024
+
+
+def timeit(fn, *args, reps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    x = datasets.beta_samples(jax.random.PRNGKey(0), N)
+    key = jax.random.PRNGKey(1)
+
+    solvers = {
+        "adjoint": SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4, gradient="adjoint"),
+        "backprop": SolverConfig(method="rk4", gradient="backprop", fixed_steps=32),
+    }
+
+    rows = []
+    for sname, solver in solvers.items():
+        icnf = cnf.ICNF.create(nvariables=1, solver=solver)
+        params = icnf.init(jax.random.PRNGKey(2))
+        for mode in (Mode.TRAIN, Mode.TEST):
+            loss_fn = jax.jit(lambda p, k: cnf.loss(icnf, mode, x, p, key=k))
+            t_fwd = timeit(loss_fn, params, key)
+            grad_fn = jax.jit(jax.grad(lambda p, k: cnf.loss(icnf, mode, x, p, key=k)))
+            t_grad = timeit(grad_fn, params, key)
+            rows.append(
+                {
+                    "solver": sname,
+                    "mode": mode.value,
+                    "loss_fwd_ms": round(t_fwd * 1e3, 3),
+                    "loss_grad_ms": round(t_grad * 1e3, 3),
+                    "samples_per_s_grad": round(N / t_grad, 1),
+                }
+            )
+
+    if args.json:
+        for row in rows:
+            print(json.dumps(row))
+    else:
+        print(f"{'solver':>9} {'mode':>6} {'fwd ms':>9} {'grad ms':>9} {'samples/s (grad)':>17}")
+        for r in rows:
+            print(
+                f"{r['solver']:>9} {r['mode']:>6} {r['loss_fwd_ms']:>9} "
+                f"{r['loss_grad_ms']:>9} {r['samples_per_s_grad']:>17}"
+            )
+
+
+if __name__ == "__main__":
+    main()

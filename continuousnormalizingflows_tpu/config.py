@@ -137,6 +137,15 @@ class ICNFConfig:
     lambda_3: float = 0.01  # terminal augmented-norm weight (ANODE)
     dtype: Any = jnp.float32
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    # Use the fused Pallas dynamics kernel when applicable (TPU backend,
+    # 3-layer softplus MLP, Hutchinson-VJP, single probe).  Off-TPU or for
+    # other nets/estimators the XLA path is used automatically.
+    # Default False: measured on TPU v5e, the kernel loses at small hidden
+    # widths (the default 2-D net) because the custom-vjp backward cannot
+    # share residuals with XLA and lane-padding inflates HBM traffic
+    # (4.9 -> 9.5 ms/step at batch 4096).  Enable for wide dynamics nets
+    # (image-scale, h >= 512) where VMEM-resident weights pay off.
+    fused: bool = False
 
     def __post_init__(self) -> None:
         if self.naugments < 0:

@@ -88,6 +88,48 @@ def make_augmented_dynamics(
     compute_reg_j = train and cfg.norm_j
     field = make_field(cfg, net)
 
+    from ..models.nets import MLP
+
+    use_fused = (
+        cfg.fused
+        and estimator is TraceEstimator.HUTCH_VJP
+        and cfg.nprobes == 1
+        and isinstance(net, MLP)
+        and len(net.widths) == 4
+        and net.widths[1] == net.widths[2]
+        and net.activation is jax.nn.softplus
+        and jax.default_backend() == "tpu"
+    )
+    if use_fused:
+        from .pallas_kernels import fused_dynamics_vjp
+
+        def f_aug_fused(t: jax.Array, u: jax.Array, args: Pytree) -> jax.Array:
+            params = args["params"]
+            eps = args["eps"]
+            ys = args.get("ys")
+            z = u[..., :nz]
+            cols = [z]
+            if not cfg.autonomous:
+                tcol = jnp.broadcast_to(
+                    jnp.asarray(t, z.dtype).reshape((1,) * z.ndim), z.shape[:-1] + (1,)
+                )
+                cols.append(tcol)
+            if cfg.conditioned:
+                cols.append(
+                    jnp.broadcast_to(ys, z.shape[:-1] + (ys.shape[-1],)).astype(z.dtype)
+                )
+            x_full = jnp.concatenate(cols, axis=-1)
+            dz, _epsj, div, reg_z, reg_j = fused_dynamics_vjp(x_full, eps[0], params, nz)
+            if not compute_reg_z:
+                reg_z = jnp.zeros_like(div)
+            if not compute_reg_j:
+                reg_j = jnp.zeros_like(div)
+            return jnp.concatenate(
+                [dz, -div[..., None], reg_z[..., None], reg_j[..., None]], axis=-1
+            )
+
+        return f_aug_fused
+
     def f_aug(t: jax.Array, u: jax.Array, args: Pytree) -> jax.Array:
         params = args["params"]
         eps = args.get("eps")

@@ -199,6 +199,20 @@ class ICNFModel:
         )
         return jnp.exp(logpx)
 
+    # -- persistence (reference MLJBase.save / machine(file),
+    #    examples/usage.jl:79-103) ---------------------------------------
+
+    def save(self, path: str, result: FitResult) -> None:
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, result.params, step=result.stats.get("iterations", 0))
+
+    def load(self, path: str) -> Pytree:
+        from .utils.checkpoint import load_checkpoint
+
+        params, _opt, _step = load_checkpoint(path)
+        return params
+
 
 class CondICNFModel(ICNFModel):
     """Conditional variant (reference ``CondICNFModel``,

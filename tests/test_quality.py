@@ -1,0 +1,77 @@
+"""Static-quality gates — the role Aqua/JET/ExplicitImports play in the
+reference's test suite (SURVEY.md §4): API hygiene, jit-staticness of the
+config lattice, and compile-cache behavior."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import continuousnormalizingflows_tpu as cnf
+from continuousnormalizingflows_tpu.config import ICNFConfig, Mode, SolverConfig
+
+
+def test_all_exports_resolve():
+    for name in cnf.__all__:
+        assert hasattr(cnf, name), name
+
+
+def test_submodule_exports_resolve():
+    from continuousnormalizingflows_tpu import models, ops, parallel, utils
+
+    for mod in (models, ops, parallel, utils):
+        for name in mod.__all__:
+            assert hasattr(mod, name), f"{mod.__name__}.{name}"
+
+
+def test_configs_are_hashable_and_value_equal():
+    """Configs must be valid static jit arguments (the type-parameter
+    dispatch analogue)."""
+    a = ICNFConfig(nvariables=2)
+    b = ICNFConfig(nvariables=2)
+    assert a == b and hash(a) == hash(b)
+    c = dataclasses.replace(a, lambda_1=0.0)
+    assert a != c
+    assert hash(SolverConfig()) == hash(SolverConfig())
+
+
+def test_derived_sizes():
+    cfg = ICNFConfig(nvariables=3)  # defaults: naugments=4, non-autonomous
+    assert cfg.naugments == 4
+    assert cfg.nz == 7
+    assert cfg.n_in == 8  # nz + time
+    assert cfg.n_out == 7
+    assert cfg.state_dim == 10  # nz + dlogp + E + n
+    cfg2 = ICNFConfig(nvariables=3, nconditions=2, autonomous=True)
+    assert cfg2.n_in == 7 + 2
+
+
+def test_no_retrace_on_repeat_calls():
+    """Second identical call must hit the jit cache (no recompiles in the
+    training loop)."""
+    from continuousnormalizingflows_tpu.core import _inference_impl
+
+    icnf = cnf.ICNF.create(
+        nvariables=1, solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=8)
+    )
+    params = icnf.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((4, 1))
+    cnf.inference(icnf, Mode.TEST, x, params)
+    before = _inference_impl._cache_size()
+    cnf.inference(icnf, Mode.TEST, x, params, key=jax.random.PRNGKey(1))
+    cnf.inference(icnf, Mode.TEST, x, params, key=jax.random.PRNGKey(2))
+    assert _inference_impl._cache_size() == before
+
+
+def test_mode_enum_stable():
+    assert Mode("test") is Mode.TEST and Mode("train") is Mode.TRAIN
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        ICNFConfig(nvariables=0)
+    with pytest.raises(ValueError):
+        SolverConfig(method="nope")
+    with pytest.raises(ValueError):
+        SolverConfig(gradient="nope")

@@ -22,11 +22,16 @@ from .nets import MLP, DynamicsNet
 __all__ = ["ICNF", "default_net"]
 
 
-def default_net(cfg: ICNFConfig) -> MLP:
+def default_net(cfg: ICNFConfig, precision: str = "highest") -> MLP:
     """Reference default dynamics net (icnf.jl:62-71):
-    ``Dense(n_in -> 4*n_in, softplus) -> Dense(softplus) -> Dense(-> n_out)``."""
+    ``Dense(n_in -> 4*n_in, softplus) -> Dense(softplus) -> Dense(-> n_out)``.
+
+    ``precision``: MXU matmul precision — "highest" (float32-accurate, required
+    for adaptive 1e-4 error control and density parity) or "default" (bf16
+    passes; measured 2.2x faster train steps with ~1.5e-2 logpx error on the
+    fixed-step path)."""
     h = 4 * cfg.n_in
-    return MLP((cfg.n_in, h, h, cfg.n_out), dtype=cfg.dtype)
+    return MLP((cfg.n_in, h, h, cfg.n_out), dtype=cfg.dtype, precision=precision)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -70,6 +75,7 @@ class ICNF:
         dtype=None,
         solver: Optional[SolverConfig] = None,
         net: Optional[DynamicsNet] = None,
+        precision: str = "highest",
     ) -> "ICNF":
         import jax.numpy as jnp
 
@@ -89,7 +95,7 @@ class ICNF:
             dtype=dtype if dtype is not None else jnp.float32,
             solver=solver if solver is not None else SolverConfig(),
         )
-        return cls(config=cfg, net=net if net is not None else default_net(cfg))
+        return cls(config=cfg, net=net if net is not None else default_net(cfg, precision))
 
     def init(self, key: jax.Array):
         """Initialize dynamics-net parameters (reference ``LuxCore.setup``)."""

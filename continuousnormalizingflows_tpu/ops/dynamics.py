@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..config import ICNFConfig, Mode, TraceEstimator
 from ..models.nets import DynamicsNet
+from ..models.nets import Planar as _Planar
 
 __all__ = ["make_augmented_dynamics", "make_field"]
 
@@ -67,8 +68,12 @@ def make_field(
 
 def _row_norm(x: jax.Array) -> jax.Array:
     """Per-sample Euclidean norm over the last axis (LinearAlgebra.norm of
-    eachcol in the reference, e.g. icnf.jl:163-251)."""
-    return jnp.sqrt(jnp.sum(jnp.square(x), axis=-1))
+    eachcol in the reference, e.g. icnf.jl:163-251).
+
+    The 1e-20 floor keeps the gradient finite at x == 0 (d‖x‖/dx = x/‖x‖ is
+    NaN exactly at zero, which would poison the whole backward pass through
+    the regularization accumulators)."""
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=-1) + 1e-20)
 
 
 def make_augmented_dynamics(
@@ -139,7 +144,42 @@ def make_augmented_dynamics(
 
         g = lambda zz: field(t, zz, params, ys)
 
-        if estimator is TraceEstimator.EXACT:
+        if estimator is TraceEstimator.EXACT and isinstance(net, _Planar):
+            # Analytic planar trace: for f(z) = u * act(w . x_full + b),
+            # div_z f = (u[:nz] . w[:nz]) * act'(pre) — exact in O(1) instead
+            # of nz linearization sweeps.  (The reference ships the ``pl_h``
+            # helper for this trick, planar_layer.jl:79-97, but never wires
+            # it; here it is the EXACT-mode fast path for planar dynamics.)
+            params_p = params
+            cols = [z]
+            if not cfg.autonomous:
+                cols.append(
+                    jnp.broadcast_to(
+                        jnp.asarray(t, z.dtype).reshape((1,) * z.ndim),
+                        z.shape[:-1] + (1,),
+                    )
+                )
+            if cfg.conditioned:
+                cols.append(
+                    jnp.broadcast_to(ys, z.shape[:-1] + (ys.shape[-1],)).astype(z.dtype)
+                )
+            x_full = jnp.concatenate(cols, axis=-1)
+            pre = net._pre(params_p, x_full)  # (batch,)
+            act_grad = jax.vmap(jax.grad(lambda s: net.activation(s)))(pre)
+            dz = net.activation(pre)[..., None] * params_p["u"]
+            uw = jnp.sum(params_p["u"][:nz] * params_p["w"][:nz])
+            div = uw * act_grad
+            if compute_reg_j:
+                # exact Frobenius norm of the rank-1 z-block Jacobian:
+                # J_z = act' * u[:nz] w[:nz]^T  =>  ||J_z||_F = |act'| ||u|| ||w||
+                reg_j = (
+                    jnp.abs(act_grad)
+                    * jnp.linalg.norm(params_p["u"][:nz])
+                    * jnp.linalg.norm(params_p["w"][:nz])
+                )
+            else:
+                reg_j = jnp.zeros((batch,), u.dtype)
+        elif estimator is TraceEstimator.EXACT:
             # Exact trace via nz forward sweeps of the batched linearization —
             # each sweep is one full-batch matmul chain, so the MXU stays busy
             # (vs the reference's per-sample Jacobian stacks, utils.jl:12-88).

@@ -45,15 +45,26 @@ Pytree = Any
 
 
 def default_optimizer(
-    learning_rate: float = 1e-3, weight_decay: float = 1e-4
+    learning_rate: float = 1e-3,
+    weight_decay: float = 1e-4,
+    clip_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """``OptimiserChain(WeightDecay(1e-4), Adam(1e-3))`` equivalent
     (reference core_icnf.jl:17-24): decoupled weight decay applied to the
-    gradient before Adam's moment accumulation."""
-    return optax.chain(
+    gradient before Adam's moment accumulation.
+
+    ``clip_norm`` prepends global-norm gradient clipping (no reference
+    counterpart — the reference's adaptive solver absorbs stiffness by
+    shrinking steps, while a fixed-step discretize-then-optimize run can spiral
+    on a transiently stiff learned field; clipping is the standard guard)."""
+    steps = []
+    if clip_norm is not None:
+        steps.append(optax.clip_by_global_norm(clip_norm))
+    steps += [
         optax.add_decayed_weights(weight_decay),
         optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
-    )
+    ]
+    return optax.chain(*steps)
 
 
 @dataclasses.dataclass

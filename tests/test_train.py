@@ -31,7 +31,16 @@ def beta_fit():
     key = jax.random.PRNGKey(7)
     x = datasets.beta_samples(key, 1024)
     icnf = cnf.ICNF.create(nvariables=1, naugments=0, lambda_3=0.0, solver=FAST_TRAIN)
-    model = cnf.ICNFModel(icnf, batchsize=0, epochs=300, key=jax.random.PRNGKey(1))
+    # clip_norm guards the fixed-step discretize-then-optimize path against
+    # transient stiffness blow-up (measured: the unclipped fit is chaotically
+    # marginal at ~iteration 190 on this task)
+    model = cnf.ICNFModel(
+        icnf,
+        optimizer=cnf.default_optimizer(clip_norm=1.0),
+        batchsize=0,
+        epochs=300,
+        key=jax.random.PRNGKey(1),
+    )
     result = model.fit(x)
     return icnf, model, result, x
 
@@ -48,8 +57,10 @@ def test_regression_beta(beta_fit):
 
     mad = np.mean(np.abs(est_pdf - true_pdf))
     tv = 0.5 * np.mean(np.abs(est_pdf - true_pdf))
-    assert mad < 0.45, f"meanad too high: {mad}"
-    assert tv < 0.25, f"total variation too high: {tv}"
+    # measured on this config: mad ~0.095, tv ~0.05 (PARITY.md); thresholds
+    # leave ~2.5x headroom for seed/backend drift
+    assert mad < 0.25, f"meanad too high: {mad}"
+    assert tv < 0.15, f"total variation too high: {tv}"
 
 
 def test_fitresult_stats(beta_fit):

@@ -39,17 +39,28 @@ __all__ = [
 
 
 class Mode(enum.Enum):
-    """Evaluation mode — reference ``TestMode`` / ``TrainMode`` (types.jl:1-7).
+    """Evaluation mode — reference ``TestMode`` / ``TrainMode{REG}`` (types.jl:1-7).
 
-    ``TEST``  — exact trace (full Jacobian diagonal), no regularization terms.
-    ``TRAIN`` — stochastic (Hutchinson) trace; regularization states are
-                integrated when the corresponding ``lambda_*`` is nonzero
-                (reference ``TrainMode{true}``; set all lambdas to 0 for the
-                ``TrainMode{false}`` behavior).
+    ``TEST``        — exact trace (full Jacobian diagonal), no regularization.
+    ``TRAIN``       — stochastic (Hutchinson) trace; regularization states are
+                      integrated when the corresponding ``lambda_*`` is nonzero
+                      (reference ``TrainMode{true}``).
+    ``TRAIN_NOREG`` — stochastic trace with regularization accumulators forced
+                      to zero regardless of the lambdas (reference
+                      ``TrainMode{false}``).
     """
 
     TEST = "test"
     TRAIN = "train"
+    TRAIN_NOREG = "train_noreg"
+
+    @property
+    def stochastic(self) -> bool:
+        return self is not Mode.TEST
+
+    @property
+    def regularized(self) -> bool:
+        return self is Mode.TRAIN
 
 
 class TraceEstimator(str, enum.Enum):

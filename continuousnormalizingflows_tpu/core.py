@@ -110,14 +110,15 @@ def _inference_impl(icnf: ICNF, mode: Mode, xs, params, key, ys):
     cfg = icnf.config
     batch = xs.shape[0]
     k_eps, k_steer = jax.random.split(key)
-    train = mode is Mode.TRAIN
 
     pad = jnp.zeros((batch, cfg.n_aug_input + 3), cfg.dtype)
     u0 = jnp.concatenate([xs, pad], axis=-1)
 
-    eps = sample_probe(cfg, k_eps, batch) if train else None
+    eps = sample_probe(cfg, k_eps, batch) if mode.stochastic else None
     t0, t1 = cfg.tspan
-    t1 = steer_t1(cfg, k_steer) if (train and cfg.steered) else t1
+    # STEER applies in regularized train mode only (reference steer_tspan
+    # dispatches on TrainMode{true}, base_icnf.jl:23-39)
+    t1 = steer_t1(cfg, k_steer) if (mode.regularized and cfg.steered) else t1
 
     u1, nfe = _solve(icnf, mode, u0, t0, t1, params, eps, ys)
     logpx, augs = _split_terminal(cfg, mode, u1)
@@ -128,14 +129,13 @@ def _inference_impl(icnf: ICNF, mode: Mode, xs, params, key, ys):
 def _generate_impl(icnf: ICNF, mode: Mode, params, key, n: int, ys):
     cfg = icnf.config
     k_base, k_eps, k_steer = jax.random.split(key, 3)
-    train = mode is Mode.TRAIN
 
     z1 = sample_base(cfg, k_base, n)
     u0 = jnp.concatenate([z1, jnp.zeros((n, 3), cfg.dtype)], axis=-1)
 
-    eps = sample_probe(cfg, k_eps, n) if train else None
+    eps = sample_probe(cfg, k_eps, n) if mode.stochastic else None
     t0, t1 = cfg.tspan
-    t1 = steer_t1(cfg, k_steer) if (train and cfg.steered) else t1
+    t1 = steer_t1(cfg, k_steer) if (mode.regularized and cfg.steered) else t1
 
     u_final, _nfe = _solve(icnf, mode, u0, t1, t0, params, eps, ys)
     return u_final[..., : cfg.nvariables]
@@ -185,7 +185,7 @@ def inference(
         ys = jnp.asarray(ys, cfg.dtype)
         ys, _ = _as_batch(ys)
     if key is None:
-        if mode is Mode.TRAIN:
+        if mode.stochastic:
             raise ValueError("train mode needs a PRNG key (probe + steer sampling)")
         key = jax.random.PRNGKey(0)
 

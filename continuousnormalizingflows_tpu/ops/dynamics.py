@@ -88,9 +88,8 @@ def make_augmented_dynamics(
     """
     nz = cfg.nz
     estimator = cfg.trace_for(mode)
-    train = mode is Mode.TRAIN
-    compute_reg_z = train and cfg.norm_z
-    compute_reg_j = train and cfg.norm_j
+    compute_reg_z = mode.regularized and cfg.norm_z
+    compute_reg_j = mode.regularized and cfg.norm_j
     field = make_field(cfg, net)
 
     from ..models.nets import MLP
@@ -124,7 +123,14 @@ def make_augmented_dynamics(
                     jnp.broadcast_to(ys, z.shape[:-1] + (ys.shape[-1],)).astype(z.dtype)
                 )
             x_full = jnp.concatenate(cols, axis=-1)
-            dz, _epsj, div, reg_z, reg_j = fused_dynamics_vjp(x_full, eps[0], params, nz)
+            cdt = (
+                jnp.bfloat16
+                if getattr(net, "precision", "highest") != "highest"
+                else None
+            )
+            dz, _epsj, div, reg_z, reg_j = fused_dynamics_vjp(
+                x_full, eps[0], params, nz, 256, cdt
+            )
             if not compute_reg_z:
                 reg_z = jnp.zeros_like(div)
             if not compute_reg_j:

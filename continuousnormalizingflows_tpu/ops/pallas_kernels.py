@@ -1,4 +1,5 @@
-"""Pallas TPU kernel: fused dynamics MLP forward + Hutchinson VJP probe.
+"""Pallas TPU kernels: fused dynamics MLP forward + Hutchinson VJP probe,
+with a hand-derived fused backward.
 
 The hot inner loop of ICNF training (SURVEY.md §2.3, reference
 ``augmented_f`` icnf.jl:517-559) evaluates, per ODE stage per batch:
@@ -8,31 +9,39 @@ The hot inner loop of ICNF training (SURVEY.md §2.3, reference
     div  = sum(epsJ_z * eps),  reg_z = ||y||,  reg_j = ||epsJ_z||
 
 XLA runs this as ~6 separate matmul kernels with the ``(B, h)`` activations
-round-tripping through HBM.  For the small hidden widths typical of ICNF
-dynamics nets the computation is HBM-bandwidth-bound, so fusing the whole
-chain into one Pallas kernel — weights resident in VMEM, activations never
-leaving VMEM, one read of ``x``/``eps``, one write of the outputs — removes
-most of the memory traffic.
+round-tripping through HBM, and its reverse pass doubles that traffic.  The
+two kernels here keep weights and activations VMEM-resident:
+
+* ``_fwd_kernel`` — the forward chain above in one launch.
+* ``_bwd_kernel`` — the full cotangent chain for ``(y, epsJ_z, div, reg_z,
+  reg_j)`` w.r.t. ``(x, eps, params)``, recomputing the forward in-kernel
+  (cheaper than spilling residuals to HBM).  Because the primal already
+  contains first derivatives (the probe VJP), this backward carries the
+  second-order terms: the sigmoid-gate path contributes
+  ``z̄ = d̄ ⊙ u ⊙ σ'(z)`` alongside the standard MLP backward, and weight
+  gradients receive both the forward-path (``xᵀ z̄``) and probe-path
+  (``Ēᵀ d``) contributions.  Weight/bias gradients are accumulated in VMEM
+  across batch-tile grid steps (TPU grids execute sequentially).
 
 Layout notes:
-* all widths are zero-padded to the 128-lane boundary.  Zero-padding is
-  *exact* here: padded hidden units have softplus(0) activations but their
-  outgoing weights are zero, and the backward gates multiply by zero-padded
-  weight rows, so every padded output/probe column is exactly 0.
-* batch is the grid dimension (``TILE_B`` rows per program); weights use a
-  constant index map so every program reuses the same VMEM-resident copy.
-* matmuls accumulate in float32 on the MXU (``preferred_element_type``).
+* all widths zero-padded to the 128-lane boundary; padding is *exact* (padded
+  hidden units have zero outgoing weights, so every padded output/probe/grad
+  entry is exactly 0 — including in the backward, where each contribution is
+  right-multiplied by a zero-padded factor or masked by ``zmask``).
+* ``eps`` is carried padded to the *input* width ``ip`` so the div product
+  needs no reshaping; the lane-aligned slice ``eps[:, :op]`` feeds the W3 dot.
+* matmuls accumulate in float32 (``preferred_element_type``); pass
+  ``compute_dtype=jnp.bfloat16`` to cast matmul operands (MXU bf16 passes,
+  ~3x faster than the float32-accurate mode).
 
-The op is exposed as :func:`fused_dynamics_vjp` with a ``jax.custom_vjp``
-whose backward pass uses the pure-JAX reference formula (XLA), so the op is
-fully differentiable (needed by both backprop-through-scan and the adjoint's
-in-solve VJPs); a hand-written backward kernel is a later optimization.
+Exposed as :func:`fused_dynamics_vjp` (a ``jax.custom_vjp``), so both
+backprop-through-scan and the continuous adjoint differentiate through it.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,13 +58,15 @@ def _pad_to(n: int, m: int = LANE) -> int:
     return ((n + m - 1) // m) * m
 
 
-def pad_mlp3_params(params, n_in: int, h: int, n_out: int):
-    """Zero-pad 3-layer MLP params to lane-aligned shapes.
+def _interpret() -> bool:
+    # off-TPU (CPU tests) kernels run in interpreter mode so the same math is
+    # validated without Mosaic
+    return jax.default_backend() != "tpu"
 
-    ``params``: the list-of-dicts layout of
-    :class:`~continuousnormalizingflows_tpu.models.nets.MLP` with widths
-    ``(n_in, h, h, n_out)``.
-    """
+
+def pad_mlp3_params(params, n_in: int, h: int, n_out: int):
+    """Zero-pad 3-layer MLP params to lane-aligned shapes (list-of-dicts
+    layout of :class:`~continuousnormalizingflows_tpu.models.nets.MLP`)."""
     ip, hp, op = _pad_to(n_in), _pad_to(h), _pad_to(n_out)
     w1 = jnp.zeros((ip, hp), jnp.float32).at[:n_in, :h].set(params[0]["w"])
     b1 = jnp.zeros((1, hp), jnp.float32).at[0, :h].set(params[0]["b"])
@@ -66,75 +77,83 @@ def pad_mlp3_params(params, n_in: int, h: int, n_out: int):
     return (w1, b1, w2, b2, w3, b3)
 
 
-def _kernel(nz: int, op: int, x_ref, eps_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            w3_ref, b3_ref, y_ref, epsj_ref, stats_ref):
-    """One batch tile: forward + probe VJP + reductions, all in VMEM.
-
-    ``eps_ref`` carries the probe padded to the *input* width ``ip`` (only the
-    first ``nz <= op <= ip`` columns are nonzero), so the div product needs no
-    reshaping; the lane-aligned slice ``eps[:, :op]`` feeds the W3 dot.
-    """
+def _make_dot(cdt):
     f32 = jnp.float32
+
+    def dot(a, b):
+        if cdt is not None:
+            a = a.astype(cdt)
+            b = b.astype(cdt)
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    return dot
+
+
+def _recompute_forward(dot, x, eps, op, w1, b1, w2, b2, w3, b3):
+    """Shared forward chain (used by both kernels)."""
+    z1 = dot(x, w1) + b1
+    s1 = jax.nn.sigmoid(z1)
+    h1 = jax.nn.softplus(z1)
+    z2 = dot(h1, w2) + b2
+    s2 = jax.nn.sigmoid(z2)
+    h2 = jax.nn.softplus(z2)
+    y = dot(h2, w3) + b3
+    u2 = dot(eps[:, :op], w3.T)
+    d2 = u2 * s2
+    u1 = dot(d2, w2.T)
+    d1 = u1 * s1
+    e = dot(d1, w1.T)
+    return z1, s1, h1, z2, s2, h2, y, u2, d2, u1, d1, e
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(nz: int, op: int, cdt, x_ref, eps_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, w3_ref, b3_ref, y_ref, epsj_ref, stats_ref):
+    f32 = jnp.float32
+    dot = _make_dot(cdt)
     x = x_ref[:]
     eps = eps_ref[:]
-
-    # ---- forward (MXU) ----
-    z1 = jnp.dot(x, w1_ref[:], preferred_element_type=f32) + b1_ref[:]
-    h1 = jax.nn.softplus(z1)
-    z2 = jnp.dot(h1, w2_ref[:], preferred_element_type=f32) + b2_ref[:]
-    h2 = jax.nn.softplus(z2)
-    y = jnp.dot(h2, w3_ref[:], preferred_element_type=f32) + b3_ref[:]
+    (_z1, _s1, _h1, _z2, _s2, _h2, y, _u2, _d2, _u1, _d1, e) = _recompute_forward(
+        dot, x, eps, op, w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:]
+    )
     y_ref[:] = y
+    epsj_ref[:] = e
 
-    # ---- probe VJP: eps^T J, J = dy/dx (reverse sweep, sigmoid = softplus')
-    d2 = jnp.dot(eps[:, :op], w3_ref[:].T, preferred_element_type=f32) * jax.nn.sigmoid(z2)
-    d1 = jnp.dot(d2, w2_ref[:].T, preferred_element_type=f32) * jax.nn.sigmoid(z1)
-    epsj = jnp.dot(d1, w1_ref[:].T, preferred_element_type=f32)
-    epsj_ref[:] = epsj
-
-    # ---- reductions (VPU): trace probe + regularizer norms ----
-    # div uses only the first nz input columns (the flow-state block);
-    # padded/time/condition columns are masked out.
-    col = jax.lax.broadcasted_iota(jnp.int32, epsj.shape, dimension=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, e.shape, dimension=1)
     zmask = (col < nz).astype(f32)
-    epsj_z = epsj * zmask
-    div = jnp.sum(epsj_z * eps, axis=1, keepdims=True)
-    reg_z = jnp.sqrt(jnp.sum(y * y, axis=1, keepdims=True))
-    reg_j = jnp.sqrt(jnp.sum(epsj_z * epsj_z, axis=1, keepdims=True))
-    stats_ref[:, 0:1] = div
-    stats_ref[:, 1:2] = reg_z
-    stats_ref[:, 2:3] = reg_j
+    e_z = e * zmask
+    stats_ref[:, 0:1] = jnp.sum(e_z * eps, axis=1, keepdims=True)
+    stats_ref[:, 1:2] = jnp.sqrt(jnp.sum(y * y, axis=1, keepdims=True) + 1e-20)
+    stats_ref[:, 2:3] = jnp.sqrt(jnp.sum(e_z * e_z, axis=1, keepdims=True) + 1e-20)
 
 
-def _fused_call(x_p, eps_p, padded_params, nz: int, tile_b: int):
-    b = x_p.shape[0]
-    ip = x_p.shape[1]  # eps_p is padded to ip as well
-    w1, b1, w2, b2, w3, b3 = padded_params
-    hp = w1.shape[1]
-    op = w3.shape[1]
-
-    grid = (b // tile_b,)
+def _fwd_call(x_p, eps_p, padded, nz: int, tile_b: int, cdt):
+    b, ip = x_p.shape
+    w1, b1, w2, b2, w3, b3 = padded
+    hp, op = w1.shape[1], w3.shape[1]
     row = lambda i: (i, 0)
     const = lambda i: (0, 0)
-
-    kernel = functools.partial(_kernel, nz, op)
     return pl.pallas_call(
-        kernel,
-        grid=grid,
+        functools.partial(_fwd_kernel, nz, op, cdt),
+        grid=(b // tile_b,),
         in_specs=[
-            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),   # x
-            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),   # eps
-            pl.BlockSpec((ip, hp), const, memory_space=pltpu.VMEM),     # w1
-            pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),      # b1
-            pl.BlockSpec((hp, hp), const, memory_space=pltpu.VMEM),     # w2
-            pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),      # b2
-            pl.BlockSpec((hp, op), const, memory_space=pltpu.VMEM),     # w3
-            pl.BlockSpec((1, op), const, memory_space=pltpu.VMEM),      # b3
+            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ip, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, op), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, op), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_b, op), row, memory_space=pltpu.VMEM),   # y
-            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),   # epsJ
-            pl.BlockSpec((tile_b, LANE), row, memory_space=pltpu.VMEM), # stats
+            pl.BlockSpec((tile_b, op), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, LANE), row, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, op), jnp.float32),
@@ -147,15 +166,142 @@ def _fused_call(x_p, eps_p, padded_params, nz: int, tile_b: int):
             + 4 * (ip * hp + hp * hp + hp * op),
             transcendentals=4 * b * hp,
         ),
-        # off-TPU (CPU tests) the kernel runs in interpreter mode so the
-        # same math is validated without Mosaic
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
     )(x_p, eps_p, w1, b1, w2, b2, w3, b3)
 
 
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(nz: int, op: int, cdt, x_ref, eps_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, w3_ref, b3_ref, ybar_ref, ebar_ref, sbar_ref,
+                xbar_ref, epsbar_ref, w1b_ref, b1b_ref, w2b_ref, b2b_ref,
+                w3b_ref, b3b_ref):
+    f32 = jnp.float32
+    dot = _make_dot(cdt)
+    x = x_ref[:]
+    eps = eps_ref[:]
+    w1, w2, w3 = w1_ref[:], w2_ref[:], w3_ref[:]
+    (z1, s1, h1, z2, s2, h2, y, u2, d2, u1, d1, e) = _recompute_forward(
+        dot, x, eps, op, w1, b1_ref[:], w2_ref[:], b2_ref[:], w3, b3_ref[:]
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, e.shape, dimension=1)
+    zmask = (col < nz).astype(f32)
+    e_z = e * zmask
+
+    # ---- merge incoming cotangents ----
+    ybar = ybar_ref[:]                       # (B, op)
+    ebar = ebar_ref[:]                       # (B, ip), nonzero cols < nz only
+    divbar = sbar_ref[:, 0:1]
+    rzbar = sbar_ref[:, 1:2]
+    rjbar = sbar_ref[:, 2:3]
+    ry = jnp.sqrt(jnp.sum(y * y, axis=1, keepdims=True) + 1e-20)
+    re = jnp.sqrt(jnp.sum(e_z * e_z, axis=1, keepdims=True) + 1e-20)
+    ybar_t = ybar + rzbar * y / ry                                  # (B, op)
+    ebar_t = (ebar + divbar * eps + rjbar * e_z / re) * zmask       # (B, ip)
+
+    # ---- probe-VJP path (second-order terms) ----
+    d1bar = dot(ebar_t, w1)                  # e = d1 W1^T
+    u1bar = d1bar * s1
+    z1_b = d1bar * u1 * s1 * (1.0 - s1)      # via d1 = u1 * sigmoid(z1)
+    d2bar = dot(u1bar, w2)                   # u1 = d2 W2^T
+    u2bar = d2bar * s2
+    z2_b = d2bar * u2 * s2 * (1.0 - s2)
+    epsbar_o = dot(u2bar, w3)                # u2 = eps W3^T -> (B, op)
+
+    # ---- forward-path backward, merged with the probe-path z contributions
+    g2 = dot(ybar_t, w3.T) * s2
+    z2_t = g2 + z2_b
+    h1bar = dot(z2_t, w2.T)
+    z1_t = h1bar * s1 + z1_b
+    xbar_ref[:] = dot(z1_t, w1.T)
+
+    epsbar = divbar * e_z                                           # (B, ip)
+    pad_cols = epsbar.shape[1] - op
+    if pad_cols:
+        epsbar_o = jnp.pad(epsbar_o, ((0, 0), (0, pad_cols)))
+    epsbar_ref[:] = epsbar + epsbar_o
+
+    # ---- parameter gradients, accumulated across batch tiles ----
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        w1b_ref[:] = jnp.zeros_like(w1b_ref)
+        b1b_ref[:] = jnp.zeros_like(b1b_ref)
+        w2b_ref[:] = jnp.zeros_like(w2b_ref)
+        b2b_ref[:] = jnp.zeros_like(b2b_ref)
+        w3b_ref[:] = jnp.zeros_like(w3b_ref)
+        b3b_ref[:] = jnp.zeros_like(b3b_ref)
+
+    w1b_ref[:] += dot(x.T, z1_t) + dot(ebar_t.T, d1)
+    b1b_ref[:] += jnp.sum(z1_t, axis=0, keepdims=True)
+    w2b_ref[:] += dot(h1.T, z2_t) + dot(u1bar.T, d2)
+    b2b_ref[:] += jnp.sum(z2_t, axis=0, keepdims=True)
+    w3b_ref[:] += dot(h2.T, ybar_t) + dot(u2bar.T, eps[:, :op])
+    b3b_ref[:] += jnp.sum(ybar_t, axis=0, keepdims=True)
+
+
+def _bwd_call(x_p, eps_p, padded, ybar_p, ebar_p, sbar, nz: int, tile_b: int, cdt):
+    b, ip = x_p.shape
+    w1, b1, w2, b2, w3, b3 = padded
+    hp, op = w1.shape[1], w3.shape[1]
+    row = lambda i: (i, 0)
+    const = lambda i: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, nz, op, cdt),
+        grid=(b // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),   # eps
+            pl.BlockSpec((ip, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, op), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, op), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, op), row, memory_space=pltpu.VMEM),   # ybar
+            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),   # ebar
+            pl.BlockSpec((tile_b, LANE), row, memory_space=pltpu.VMEM), # sbar
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),   # xbar
+            pl.BlockSpec((tile_b, ip), row, memory_space=pltpu.VMEM),   # epsbar
+            pl.BlockSpec((ip, hp), const, memory_space=pltpu.VMEM),     # w1bar
+            pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, op), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, op), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ip), jnp.float32),
+            jax.ShapeDtypeStruct((b, ip), jnp.float32),
+            jax.ShapeDtypeStruct((ip, hp), jnp.float32),
+            jax.ShapeDtypeStruct((1, hp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, hp), jnp.float32),
+            jax.ShapeDtypeStruct((1, hp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, op), jnp.float32),
+            jax.ShapeDtypeStruct((1, op), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * (2 * ip * hp + 2 * hp * hp + 2 * hp * op),
+            bytes_accessed=4 * b * (5 * ip + 2 * op + LANE)
+            + 8 * (ip * hp + hp * hp + hp * op),
+            transcendentals=4 * b * hp,
+        ),
+        interpret=_interpret(),
+    )(x_p, eps_p, w1, b1, w2, b2, w3, b3, ybar_p, ebar_p, sbar)
+
+
+# ---------------------------------------------------------------------------
+# reference (XLA) implementation + public custom-vjp op
+# ---------------------------------------------------------------------------
+
+
 def mlp3_forward_vjp_reference(x, eps, params, nz: int):
-    """Pure-JAX reference of the fused op (unpadded shapes) — used for the
-    custom backward pass and for correctness tests."""
+    """Pure-JAX reference of the fused op (unpadded shapes) — fallback path
+    and correctness oracle for the kernels."""
     w1, b1, w2, b2 = params[0]["w"], params[0]["b"], params[1]["w"], params[1]["b"]
     w3, b3 = params[2]["w"], params[2]["b"]
     z1 = x @ w1 + b1
@@ -168,13 +314,20 @@ def mlp3_forward_vjp_reference(x, eps, params, nz: int):
     epsj = d1 @ w1.T
     epsj_z = epsj[:, :nz]
     div = jnp.sum(epsj_z * eps[:, :nz], axis=-1)
-    reg_z = jnp.sqrt(jnp.sum(y * y, axis=-1))
-    reg_j = jnp.sqrt(jnp.sum(epsj_z * epsj_z, axis=-1))
+    reg_z = jnp.sqrt(jnp.sum(y * y, axis=-1) + 1e-20)
+    reg_j = jnp.sqrt(jnp.sum(epsj_z * epsj_z, axis=-1) + 1e-20)
     return y, epsj_z, div, reg_z, reg_j
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_dynamics_vjp(x, eps, params, nz: int, tile_b: int = 256):
+def _tile_for(b: int, tile_b: int) -> Optional[int]:
+    tb = min(tile_b, b)
+    if b % tb == 0 and tb % 8 == 0:
+        return tb
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_dynamics_vjp(x, eps, params, nz: int, tile_b: int = 256, compute_dtype=None):
     """Fused MLP forward + probe VJP + reductions.
 
     Args:
@@ -183,6 +336,7 @@ def fused_dynamics_vjp(x, eps, params, nz: int, tile_b: int = 256):
       params: 3-layer MLP params (list-of-dicts).
       nz: width of the flow-state block at the front of ``x``.
       tile_b: batch rows per Pallas program.
+      compute_dtype: ``None`` (float32-accurate MXU) or ``jnp.bfloat16``.
 
     Returns ``(y, epsj_z, div, reg_z, reg_j)`` with shapes
     ``(B, n_out), (B, nz), (B,), (B,), (B,)``.
@@ -190,10 +344,8 @@ def fused_dynamics_vjp(x, eps, params, nz: int, tile_b: int = 256):
     n_in = x.shape[1]
     h = params[0]["w"].shape[1]
     n_out = params[2]["w"].shape[1]
-    b = x.shape[0]
-    tb = min(tile_b, b)
-    if b % tb != 0 or tb % 8 != 0:
-        # awkward batch: fall back to the XLA path
+    tb = _tile_for(x.shape[0], tile_b)
+    if tb is None:
         return mlp3_forward_vjp_reference(x, eps, params, nz)
 
     ip = _pad_to(n_in)
@@ -201,24 +353,64 @@ def fused_dynamics_vjp(x, eps, params, nz: int, tile_b: int = 256):
     eps_p = jnp.pad(eps.astype(jnp.float32), ((0, 0), (0, ip - n_out)))
     padded = pad_mlp3_params(params, n_in, h, n_out)
 
-    y_p, epsj_p, stats = _fused_call(x_p, eps_p, padded, nz, tb)
-    y = y_p[:, :n_out]
-    epsj_z = epsj_p[:, :nz]
-    return y, epsj_z, stats[:, 0], stats[:, 1], stats[:, 2]
+    y_p, epsj_p, stats = _fwd_call(x_p, eps_p, padded, nz, tb, compute_dtype)
+    return (
+        y_p[:, :n_out],
+        epsj_p[:, :nz],
+        stats[:, 0],
+        stats[:, 1],
+        stats[:, 2],
+    )
 
 
-def _fused_fwd(x, eps, params, nz, tile_b):
-    out = fused_dynamics_vjp(x, eps, params, nz, tile_b)
+def _fused_fwd(x, eps, params, nz, tile_b, compute_dtype):
+    out = fused_dynamics_vjp(x, eps, params, nz, tile_b, compute_dtype)
     return out, (x, eps, params)
 
 
-def _fused_bwd(nz, tile_b, residuals, cotangents):
+def _fused_bwd(nz, tile_b, compute_dtype, residuals, cotangents):
     x, eps, params = residuals
-    _, vjp_fn = jax.vjp(
-        lambda x_, eps_, p_: mlp3_forward_vjp_reference(x_, eps_, p_, nz),
-        x, eps, params,
+    tb = _tile_for(x.shape[0], tile_b)
+    if tb is None:
+        _, vjp_fn = jax.vjp(
+            lambda x_, eps_, p_: mlp3_forward_vjp_reference(x_, eps_, p_, nz),
+            x, eps, params,
+        )
+        return vjp_fn(cotangents)
+
+    ybar, ezbar, divbar, rzbar, rjbar = cotangents
+    n_in = x.shape[1]
+    h = params[0]["w"].shape[1]
+    n_out = params[2]["w"].shape[1]
+    ip = _pad_to(n_in)
+    op = _pad_to(n_out)
+    b = x.shape[0]
+
+    x_p = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, ip - n_in)))
+    eps_p = jnp.pad(eps.astype(jnp.float32), ((0, 0), (0, ip - n_out)))
+    padded = pad_mlp3_params(params, n_in, h, n_out)
+    ybar_p = jnp.pad(ybar.astype(jnp.float32), ((0, 0), (0, op - n_out)))
+    ebar_p = jnp.pad(ezbar.astype(jnp.float32), ((0, 0), (0, ip - nz)))
+    sbar = (
+        jnp.zeros((b, LANE), jnp.float32)
+        .at[:, 0].set(divbar.astype(jnp.float32))
+        .at[:, 1].set(rzbar.astype(jnp.float32))
+        .at[:, 2].set(rjbar.astype(jnp.float32))
     )
-    return vjp_fn(cotangents)
+
+    xbar_p, epsbar_p, w1b, b1b, w2b, b2b, w3b, b3b = _bwd_call(
+        x_p, eps_p, padded, ybar_p, ebar_p, sbar, nz, tb, compute_dtype
+    )
+    params_bar = [
+        {"w": w1b[:n_in, :h], "b": b1b[0, :h]},
+        {"w": w2b[:h, :h], "b": b2b[0, :h]},
+        {"w": w3b[:h, :n_out], "b": b3b[0, :n_out]},
+    ]
+    return (
+        xbar_p[:, :n_in].astype(x.dtype),
+        epsbar_p[:, :n_out].astype(eps.dtype),
+        params_bar,
+    )
 
 
 fused_dynamics_vjp.defvjp(_fused_fwd, _fused_bwd)

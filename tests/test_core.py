@@ -170,3 +170,39 @@ def test_exact_vs_hutchinson_consistency():
     lp_exact, _, _ = cnf.inference(icnf_t, Mode.TEST, x, params)
     lp_hutch, _, _ = cnf.inference(icnf_t, Mode.TRAIN, x, params, key=jax.random.PRNGKey(2))
     np.testing.assert_allclose(np.asarray(lp_exact), np.asarray(lp_hutch), rtol=0.05, atol=0.1)
+
+
+def test_train_noreg_mode():
+    """Mode.TRAIN_NOREG (reference TrainMode{false}): stochastic trace with
+    zero regularization accumulators even when lambdas are set."""
+    icnf = make(nvariables=2)  # default lambdas 0.01
+    params = icnf.init(jax.random.PRNGKey(0))
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    key = jax.random.PRNGKey(2)
+    lp, (e, n, a), _ = cnf.inference(icnf, Mode.TRAIN_NOREG, x, params, key=key)
+    assert jnp.all(e == 0) and jnp.all(n == 0) and jnp.all(a == 0)
+    lp_r, (e_r, n_r, _), _ = cnf.inference(icnf, Mode.TRAIN, x, params, key=key)
+    assert jnp.any(e_r != 0) and jnp.any(n_r != 0)
+    # STEER applies only in regularized train mode; with steer off the logpx
+    # from the same key/probe must agree
+    icnf_ns = make(nvariables=2, steer_rate=0.0)
+    p2 = icnf_ns.init(jax.random.PRNGKey(0))
+    lp1, _, _ = cnf.inference(icnf_ns, Mode.TRAIN_NOREG, x, p2, key=key)
+    lp2, _, _ = cnf.inference(icnf_ns, Mode.TRAIN, x, p2, key=key)
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2), rtol=2e-4, atol=1e-5)
+
+
+def test_float64_support():
+    """Reference supports data_type=Float64; verify the x64 path end-to-end."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        icnf = cnf.ICNF.create(
+            nvariables=2, dtype=jnp.float64,
+            solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=8),
+        )
+        params = icnf.init(jax.random.PRNGKey(0))
+        x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 2), jnp.float64)
+        lp, _, _ = cnf.inference(icnf, Mode.TEST, x, params)
+        assert lp.dtype == jnp.float64 and bool(jnp.all(jnp.isfinite(lp)))
+    finally:
+        jax.config.update("jax_enable_x64", False)

@@ -93,9 +93,26 @@ def _solve(
     eps: Optional[jax.Array],
     ys: Optional[jax.Array],
 ) -> Tuple[jax.Array, jax.Array]:
-    f_aug = make_augmented_dynamics(icnf.config, icnf.net, mode)
+    cfg = icnf.config
+    if eps is not None:
+        from .ops.pallas_solve import fused_solve_applicable, fused_solve_rk4
+        from .ops.pallas_solve import _tile_for as _fs_tile
+
+        if fused_solve_applicable(cfg, icnf.net, mode) and _fs_tile(u0.shape[0], 256):
+            t_col = cfg.nz if not cfg.autonomous else None
+            cdt = (
+                jnp.bfloat16
+                if getattr(icnf.net, "precision", "highest") != "highest"
+                else None
+            )
+            u1 = fused_solve_rk4(
+                u0, eps[0], ys, params, (t0, t1), cfg.nz, t_col,
+                cfg.solver.fixed_steps, 256, cdt,
+            )
+            return u1, jnp.int32(4 * cfg.solver.fixed_steps)
+    f_aug = make_augmented_dynamics(cfg, icnf.net, mode)
     args = {"params": params, "eps": eps, "ys": ys}
-    return odeint_diff(f_aug, u0, t0, t1, args, icnf.config.solver)
+    return odeint_diff(f_aug, u0, t0, t1, args, cfg.solver)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 
@@ -148,14 +148,14 @@ class ICNFConfig:
     lambda_3: float = 0.01  # terminal augmented-norm weight (ANODE)
     dtype: Any = jnp.float32
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
-    # Use the fused Pallas dynamics kernel when applicable (TPU backend,
-    # 3-layer softplus MLP, Hutchinson-VJP, single probe).  Off-TPU or for
-    # other nets/estimators the XLA path is used automatically.
-    # Default False: measured on TPU v5e, the kernel loses at small hidden
-    # widths (the default 2-D net) because the custom-vjp backward cannot
-    # share residuals with XLA and lane-padding inflates HBM traffic
-    # (4.9 -> 9.5 ms/step at batch 4096).  Enable for wide dynamics nets
-    # (image-scale, h >= 512) where VMEM-resident weights pay off.
+    # Use the fused whole-solve Pallas kernel when applicable (TPU backend,
+    # 3-layer softplus MLP with h <= 128, Hutchinson-VJP, single probe,
+    # rk4 + backprop, regularized train mode).  Off-TPU or for other
+    # configurations the XLA path is used automatically.
+    # Default False: measured on v5e (PARITY.md), the kernel wins in the
+    # h≈128 band (1.17x over XLA-bf16, 2.3x over XLA-fp32) where the
+    # 128-lane contraction padding is free, and loses at the tiny default
+    # widths where XLA contracts at k=24 while the kernel pays k=128.
     fused: bool = False
 
     def __post_init__(self) -> None:

@@ -23,7 +23,6 @@ state is kept (reference ``save_everystep = false``, ``base_icnf.jl:134-140``).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Tuple
 
 import jax

@@ -41,7 +41,7 @@ backprop-through-scan and the continuous adjoint differentiate through it.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -80,11 +80,15 @@ def pad_mlp3_params(params, n_in: int, h: int, n_out: int):
 def _make_dot(cdt):
     f32 = jnp.float32
 
+    # cdt=None must be genuinely float32-accurate: Mosaic's default matmul
+    # runs bf16 passes even for f32 operands, so request HIGHEST explicitly.
     def dot(a, b):
         if cdt is not None:
             a = a.astype(cdt)
             b = b.astype(cdt)
-        return jnp.dot(a, b, preferred_element_type=f32)
+            return jnp.dot(a, b, preferred_element_type=f32)
+        return jnp.dot(a, b, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     return dot
 

@@ -44,7 +44,7 @@ Backward kernel (exact discrete BPTT, not a continuous adjoint)
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import ICNFConfig, Mode, SolverConfig, TraceEstimator
+from ..config import ICNFConfig, Mode, TraceEstimator
 
 __all__ = ["fused_solve_applicable", "fused_solve_rk4"]
 
@@ -71,11 +71,16 @@ def _colmask_lt(n: int, shape) -> jax.Array:
 
 
 def _make_dot(cdt):
+    # cdt=None must be genuinely float32-accurate: Mosaic's default matmul
+    # runs bf16 passes even for f32 operands (measured: "f32" kernels matched
+    # bf16 kernel speed and numerics), so request HIGHEST explicitly.
     def dot(a, b):
         if cdt is not None:
             a = a.astype(cdt)
             b = b.astype(cdt)
-        return jnp.dot(a, b, preferred_element_type=F32)
+            return jnp.dot(a, b, preferred_element_type=F32)
+        return jnp.dot(a, b, preferred_element_type=F32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     return dot
 

@@ -104,6 +104,11 @@ class SolverConfig:
     gradient: str = "adjoint"  # "adjoint" | "backprop" (backprop ⇒ fixed-step)
     remat: bool = True  # checkpoint each scan step in backprop mode
     dt0: float = 0.01  # initial trial step (fraction handled by controller)
+    # Exclude the parameter-quadrature states from the backward (adjoint)
+    # error norm — the seminorm trick ("Hey, that's not an ODE", PAPERS.md);
+    # cuts backward NFE without changing which quantities are error-controlled
+    # in a way that matters (quadrature states never feed back).
+    adjoint_seminorm: bool = True
     safety: float = 0.9
     max_factor: float = 10.0
     min_factor: float = 0.2

@@ -70,7 +70,18 @@ def _adjoint_bwd(f, cfg, residuals, cotangents):
 
     q0 = jax.tree_util.tree_map(jnp.zeros_like, args)
     state1 = (y1, g_y1, q0)
-    (y0_rec, a0, q), _nfe_b = odeint(aug_dyn, state1, t1, t0, args, cfg)
+    # Seminorm (PAPERS.md, Kidger et al. 2021): the parameter-quadrature
+    # block q is excluded from the backward error norm when enabled — q never
+    # feeds back into the dynamics, so error-controlling it only forces
+    # pointlessly small steps.
+    error_weight = None
+    if cfg.adjoint_seminorm and cfg.method == "dopri5":
+        error_weight = (
+            jax.tree_util.tree_map(lambda _: True, y1),
+            jax.tree_util.tree_map(lambda _: True, g_y1),
+            jax.tree_util.tree_map(lambda _: False, q0),
+        )
+    (y0_rec, a0, q), _nfe_b = odeint(aug_dyn, state1, t1, t0, args, cfg, error_weight)
 
     # dL/dt1 = <g, f(t1, y1)> ; dL/dt0 = -<a(t0), f(t0, y0)>
     t1_bar = _tree_vdot(g_y1, f(t1, y1, args)).real.astype(t1.dtype)

@@ -68,20 +68,35 @@ def _tree_scaled_sum(dt: jax.Array, *terms: Tuple[float, Pytree]) -> Pytree:
     return jax.tree_util.tree_map(combine, *ks)
 
 
-def _rms_error_ratio(err: Pytree, y0: Pytree, y1: Pytree, rtol: float, atol: float) -> jax.Array:
+def _rms_error_ratio(
+    err: Pytree, y0: Pytree, y1: Pytree, rtol: float, atol: float,
+    error_weight: Pytree = None,
+) -> jax.Array:
     """RMS of err / (atol + rtol * max(|y0|, |y1|)) over every state element.
 
     One scalar for the whole (possibly sharded) batch — the reference likewise
     runs one adaptive solve over the full d x n matrix state, sharing step
     sizes across samples (SURVEY.md §2.9).
+
+    ``error_weight`` (optional, same tree structure with boolean leaves)
+    selects which leaves participate — the *seminorm* of "Hey, that's not an
+    ODE: Faster ODE Adjoints via Seminorms" (PAPERS.md): pure-quadrature
+    states (parameter gradients in the adjoint solve) don't feed back into
+    the dynamics, so error-controlling them only shrinks steps pointlessly.
     """
+    leaves_e = jax.tree_util.tree_leaves(err)
+    leaves_a = jax.tree_util.tree_leaves(y0)
+    leaves_b = jax.tree_util.tree_leaves(y1)
+    weights = (
+        jax.tree_util.tree_leaves(error_weight)
+        if error_weight is not None
+        else [True] * len(leaves_e)
+    )
     sq_sum = 0.0
     count = 0.0
-    for e, a, b in zip(
-        jax.tree_util.tree_leaves(err),
-        jax.tree_util.tree_leaves(y0),
-        jax.tree_util.tree_leaves(y1),
-    ):
+    for e, a, b, w in zip(leaves_e, leaves_a, leaves_b, weights):
+        if not w:
+            continue
         scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
         r = (e / scale).astype(jnp.float32)
         sq_sum = sq_sum + jnp.sum(r * r)
@@ -135,6 +150,7 @@ def odeint_dopri5(
     t1: jax.Array,
     args: Pytree,
     cfg: SolverConfig,
+    error_weight: Pytree = None,
 ) -> Tuple[Pytree, jax.Array]:
     """Adaptive Dormand-Prince 5(4) under ``lax.while_loop``. Not
     reverse-differentiable directly — wrap with the continuous adjoint
@@ -161,7 +177,7 @@ def odeint_dopri5(
         # clamp the trial step so we can land exactly on t1
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
         y5, err, k7 = _dopri5_step(f, t, y, dt_c, k1, args)
-        ratio = _rms_error_ratio(err, y, y5, cfg.rtol, cfg.atol)
+        ratio = _rms_error_ratio(err, y, y5, cfg.rtol, cfg.atol, error_weight)
         accept = ratio <= 1.0
 
         factor = jnp.clip(
@@ -242,9 +258,12 @@ def odeint(
     t1: jax.Array,
     args: Pytree,
     cfg: SolverConfig,
+    error_weight: Pytree = None,
 ) -> Tuple[Pytree, jax.Array]:
     """Dispatch on ``cfg.method``. Gradient handling lives one level up
-    (``ops.adjoint.odeint_diff``)."""
+    (``ops.adjoint.odeint_diff``). ``error_weight`` marks which state leaves
+    enter the adaptive error norm (seminorm support; ignored by fixed-step
+    methods)."""
     if cfg.method == "dopri5":
-        return odeint_dopri5(f, y0, t0, t1, args, cfg)
+        return odeint_dopri5(f, y0, t0, t1, args, cfg, error_weight)
     return odeint_fixed(f, y0, t0, t1, args, cfg)

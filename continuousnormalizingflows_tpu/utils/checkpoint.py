@@ -6,8 +6,12 @@ resume.  Here checkpoints cover params + optimizer state + step, enabling the
 failure-recovery story a multi-host TPU job needs (SURVEY.md §5): save
 periodically, restart from the latest on preemption.
 
-Uses Orbax when available (the TPU-ecosystem standard, multi-host aware),
-falling back to a plain numpy flat-file format.
+Backends: plain numpy-pickle (default — fast, single-host) and Orbax
+(``use_orbax=True``; the TPU-ecosystem standard, async-capable and multi-host
+aware — opt-in because tensorstore's many tiny fsyncs take minutes on slow
+network filesystems like this dev image's, measured 224 s for a 3-float
+tree).  Both write a ``meta.json`` with the step and the backend used, and
+:func:`load_checkpoint` auto-detects.
 """
 
 from __future__ import annotations
@@ -25,27 +29,64 @@ __all__ = ["save_checkpoint", "load_checkpoint"]
 Pytree = Any
 
 
-def save_checkpoint(path: str, params: Pytree, opt_state: Pytree = None, step: int = 0) -> None:
+def _orbax():
+    try:
+        import orbax.checkpoint as ocp
+
+        return ocp
+    except Exception:  # pragma: no cover - environment without orbax
+        return None
+
+
+def save_checkpoint(
+    path: str,
+    params: Pytree,
+    opt_state: Pytree = None,
+    step: int = 0,
+    use_orbax: Optional[bool] = None,
+) -> None:
     """Write ``{params, opt_state, step}`` to ``path`` (a directory)."""
+    path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
-    payload = {
-        "params": jax.tree_util.tree_map(np.asarray, params),
-        "opt_state": jax.tree_util.tree_map(np.asarray, opt_state)
-        if opt_state is not None
-        else None,
-    }
-    with open(os.path.join(path, "state.pkl"), "wb") as f:
-        pickle.dump(payload, f)
+    ocp = _orbax() if use_orbax else None
+    payload = {"params": params}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+
+    backend = "pickle"
+    if ocp is not None:
+        try:
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(os.path.join(path, "state"), payload, force=True)
+            backend = "orbax"
+        except Exception:
+            if use_orbax:
+                raise
+    if backend == "pickle":
+        host = jax.tree_util.tree_map(np.asarray, payload)
+        with open(os.path.join(path, "state.pkl"), "wb") as f:
+            pickle.dump(host, f)
+
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"step": int(step)}, f)
+        json.dump({"step": int(step), "backend": backend,
+                   "has_opt_state": opt_state is not None}, f)
 
 
 def load_checkpoint(path: str) -> Tuple[Pytree, Optional[Pytree], int]:
-    """Returns ``(params, opt_state, step)``."""
-    with open(os.path.join(path, "state.pkl"), "rb") as f:
-        payload = pickle.load(f)
+    """Returns ``(params, opt_state, step)``; backend auto-detected."""
+    path = os.path.abspath(path)
     with open(os.path.join(path, "meta.json")) as f:
-        step = json.load(f)["step"]
-    to_jax = lambda t: jax.tree_util.tree_map(jax.numpy.asarray, t)
-    opt_state = payload["opt_state"]
-    return to_jax(payload["params"]), (to_jax(opt_state) if opt_state is not None else None), step
+        meta = json.load(f)
+
+    if meta.get("backend") == "orbax":
+        ocp = _orbax()
+        if ocp is None:
+            raise RuntimeError("checkpoint was written with orbax, which is unavailable")
+        with ocp.PyTreeCheckpointer() as ckptr:
+            payload = ckptr.restore(os.path.join(path, "state"))
+    else:
+        with open(os.path.join(path, "state.pkl"), "rb") as f:
+            payload = pickle.load(f)
+        payload = jax.tree_util.tree_map(jax.numpy.asarray, payload)
+
+    return payload["params"], payload.get("opt_state"), meta["step"]

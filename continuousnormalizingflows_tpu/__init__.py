@@ -22,7 +22,7 @@ from .config import ICNFConfig, Mode, ProbeDist, SolverConfig, TraceEstimator
 from .core import base_logpdf, generate, inference, log_prob, loss
 from .dist import CondICNFDist, ICNFDist
 from .models.icnf import ICNF, default_net
-from .models.nets import MLP, DynamicsNet, Planar, from_flax, planar_h
+from .models.nets import MLP, CondLayer, DynamicsNet, Planar, from_flax, planar_h
 from .train import CondICNFModel, FitResult, ICNFModel, default_optimizer
 
 __version__ = "0.1.0"
@@ -36,6 +36,7 @@ __all__ = [
     "TraceEstimator",
     "MLP",
     "Planar",
+    "CondLayer",
     "DynamicsNet",
     "default_net",
     "from_flax",

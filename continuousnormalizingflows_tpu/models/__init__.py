@@ -1,4 +1,4 @@
 from .icnf import ICNF, default_net
-from .nets import MLP, DynamicsNet, Planar, from_flax, planar_h
+from .nets import MLP, CondLayer, DynamicsNet, Planar, from_flax, planar_h
 
-__all__ = ["ICNF", "default_net", "MLP", "DynamicsNet", "Planar", "from_flax", "planar_h"]
+__all__ = ["ICNF", "default_net", "MLP", "CondLayer", "DynamicsNet", "Planar", "from_flax", "planar_h"]

@@ -22,7 +22,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["DynamicsNet", "MLP", "Planar", "planar_h", "from_flax"]
+__all__ = ["DynamicsNet", "MLP", "Planar", "CondLayer", "planar_h", "from_flax"]
 
 Params = Any
 
@@ -155,6 +155,37 @@ def planar_h(net: Planar, params: Params, x: jax.Array) -> jax.Array:
     """The pre-``u`` scalar activation ``h(z) = act(w . z + b)`` — reference
     ``pl_h`` helper (planar_layer.jl:79-97), exposed for analytic-trace use."""
     return net.activation(net._pre(params, x))
+
+
+class CondLayer(DynamicsNet):
+    """Wrapper appending a constant conditioning array to the net input —
+    the reference ``CondLayer`` (src/layers/cond_layer.jl:1-31).
+
+    Inside this framework conditioning is injected automatically by the
+    dynamics factory (pass ``ys=`` to inference/loss), so this class exists
+    for API parity and for building custom conditioning schemes: the wrapped
+    net sees ``concat([x, ys], -1)``; a scalar ``ys`` broadcasts to one
+    column (the reference's time-injection case, cond_layer.jl:23-31)."""
+
+    def __init__(self, net: DynamicsNet, ys: jax.Array) -> None:
+        ys = jnp.asarray(ys)
+        if ys.ndim == 0:
+            ys = ys.reshape(1, 1)
+        elif ys.ndim == 1:
+            ys = ys[None, :]
+        self.net = net
+        self.ys = ys
+        self.n_in = net.n_in - ys.shape[-1]
+        self.n_out = net.n_out
+        if self.n_in <= 0:
+            raise ValueError("conditioning width must be smaller than net input")
+
+    def init(self, key: jax.Array) -> Params:
+        return self.net.init(key)
+
+    def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        ys = jnp.broadcast_to(self.ys, x.shape[:-1] + (self.ys.shape[-1],)).astype(x.dtype)
+        return self.net.apply(params, jnp.concatenate([x, ys], axis=-1))
 
 
 class _FlaxNet(DynamicsNet):

@@ -184,3 +184,23 @@ class TestPlanarAnalyticTrace:
         jac = jax.vmap(jax.jacfwd(single))(u[:, :nz])
         frob = jnp.sqrt(jnp.sum(jac**2, axis=(1, 2)))
         np.testing.assert_allclose(np.asarray(du[:, nz + 2]), np.asarray(frob), rtol=1e-4, atol=1e-5)
+
+
+def test_cond_layer_wrapper():
+    """CondLayer parity object: wrapped net sees concat([x, ys]); matches the
+    automatic conditioning path for the same ys."""
+    from continuousnormalizingflows_tpu.models.nets import MLP, CondLayer
+
+    inner = MLP((5, 8, 8, 3))
+    ys = jnp.array([0.5, -1.0])
+    wrapped = CondLayer(inner, ys)
+    assert wrapped.n_in == 3 and wrapped.n_out == 3
+    params = wrapped.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3))
+    out = wrapped.apply(params, x)
+    expected = inner.apply(params, jnp.concatenate([x, jnp.broadcast_to(ys, (4, 2))], -1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-6)
+    # scalar ys broadcasts to one column (time-injection case)
+    w2 = CondLayer(MLP((4, 8, 8, 3)), jnp.float32(0.25))
+    assert w2.n_in == 3
+    assert w2.apply(w2.init(jax.random.PRNGKey(2)), x).shape == (4, 3)

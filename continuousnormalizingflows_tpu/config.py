@@ -101,9 +101,19 @@ class SolverConfig:
     atol: float = 1.0e-4
     max_steps: int = 16_384  # adaptive-path bound (reference uses typemax(Int))
     fixed_steps: int = 64  # step count for fixed-step methods
-    gradient: str = "adjoint"  # "adjoint" | "backprop" (backprop ⇒ fixed-step)
+    # "adjoint"    — backsolve continuous adjoint (state reconstructed backward)
+    # "quadrature" — interpolation adjoint: dense forward interpolant + backward
+    #                solve of (a, q) only — the closest analogue of the
+    #                reference's QuadratureAdjoint (icnf.jl:90-99); stabler on
+    #                stiff/long flows (no y-reconstruction error), costs
+    #                O(dense_max_nodes) forward-state memory
+    # "backprop"   — discretize-then-optimize (fixed-step methods only)
+    gradient: str = "adjoint"
     remat: bool = True  # checkpoint each scan step in backprop mode
     dt0: float = 0.01  # initial trial step (fraction handled by controller)
+    # node-buffer capacity for the dense forward interpolant ("quadrature");
+    # each node stores (y, f) — at rtol 1e-4 CNF solves accept ~4-40 steps
+    dense_max_nodes: int = 128
     # Exclude the parameter-quadrature states from the backward (adjoint)
     # error norm — the seminorm trick ("Hey, that's not an ODE", PAPERS.md);
     # cuts backward NFE without changing which quantities are error-controlled
@@ -116,12 +126,18 @@ class SolverConfig:
     def __post_init__(self) -> None:
         if self.method not in ("dopri5", "rk4", "euler"):
             raise ValueError(f"unknown ODE method {self.method!r}")
-        if self.gradient not in ("adjoint", "backprop"):
+        if self.gradient not in ("adjoint", "quadrature", "backprop"):
             raise ValueError(f"unknown gradient mode {self.gradient!r}")
         if self.gradient == "backprop" and self.method == "dopri5":
             raise ValueError(
                 "backprop gradients require a fixed-step method (rk4/euler); "
                 "use gradient='adjoint' with dopri5"
+            )
+        if self.gradient == "quadrature" and self.method != "dopri5":
+            raise ValueError(
+                "the interpolation (quadrature) adjoint needs the adaptive "
+                "dense-output solver (method='dopri5'); fixed-step methods "
+                "support gradient='backprop'"
             )
 
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SolverConfig
-from .ode import odeint
+from .ode import eval_dense, odeint, odeint_dopri5_dense
 
 __all__ = ["odeint_diff"]
 
@@ -92,6 +92,69 @@ def _adjoint_bwd(f, cfg, residuals, cotangents):
 _odeint_adjoint.defvjp(_adjoint_fwd, _adjoint_bwd)
 
 
+# ---------------------------------------------------------------------------
+# interpolation ("quadrature") adjoint — reference QuadratureAdjoint analogue
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _odeint_quadrature(f, cfg: SolverConfig, y0, t0, t1, args):
+    y1, nfe, _dense = odeint_dopri5_dense(f, y0, t0, t1, args, cfg)
+    return y1, nfe
+
+
+def _quadrature_fwd(f, cfg, y0, t0, t1, args):
+    y1, nfe, dense = odeint_dopri5_dense(f, y0, t0, t1, args, cfg)
+    return (y1, nfe), (y1, dense, t0, t1, args)
+
+
+def _quadrature_bwd(f, cfg, residuals, cotangents):
+    """Backward solve of the adjoint + parameter-quadrature states only.
+
+    Unlike the backsolve adjoint (above), the primal state is *not*
+    re-integrated backward — it is read from the dense forward interpolant, so
+    a diverging reverse-time primal cannot corrupt the adjoint (the stability
+    property QuadratureAdjoint is chosen for in the reference, icnf.jl:90-99).
+    The backward state is ``(a, q)``::
+
+        d/dt (a, q) = (-a^T ∂f/∂y|_{y(t)}, -a^T ∂f/∂θ|_{y(t)})
+    """
+    y1, dense, t0, t1, args = residuals
+    g_y1, _g_nfe = cotangents
+
+    t0 = jnp.asarray(t0, jnp.result_type(float, t0))
+    t1 = jnp.asarray(t1, jnp.result_type(float, t1))
+
+    def adj_dyn(t, state, aug_args):
+        a, _q = state
+        y = eval_dense(dense, t)
+        _dy, vjp_fn = jax.vjp(lambda y_, args_: f(t, y_, args_), y, aug_args)
+        a_y, a_args = vjp_fn(a)
+        neg = lambda x: -x
+        return (
+            jax.tree_util.tree_map(neg, a_y),
+            jax.tree_util.tree_map(neg, a_args),
+        )
+
+    q0 = jax.tree_util.tree_map(jnp.zeros_like, args)
+    state1 = (g_y1, q0)
+    error_weight = None
+    if cfg.adjoint_seminorm:
+        error_weight = (
+            jax.tree_util.tree_map(lambda _: True, g_y1),
+            jax.tree_util.tree_map(lambda _: False, q0),
+        )
+    (a0, q), _nfe_b = odeint(adj_dyn, state1, t1, t0, args, cfg, error_weight)
+
+    y0_rec = eval_dense(dense, t0)
+    t1_bar = _tree_vdot(g_y1, f(t1, y1, args)).real.astype(t1.dtype)
+    t0_bar = (-_tree_vdot(a0, f(t0, y0_rec, args))).real.astype(t0.dtype)
+    return (a0, t0_bar, t1_bar, q)
+
+
+_odeint_quadrature.defvjp(_quadrature_fwd, _quadrature_bwd)
+
+
 def odeint_diff(
     f: Callable[[jax.Array, Pytree, Pytree], Pytree],
     y0: Pytree,
@@ -103,10 +166,13 @@ def odeint_diff(
     """Differentiable ODE solve dispatching on ``cfg.gradient``.
 
     ``backprop`` requires a fixed-step method (enforced by
-    :class:`~continuousnormalizingflows_tpu.config.SolverConfig`); ``adjoint``
-    works with any method and is the default, matching the reference's
-    continuous-adjoint training (icnf.jl:90-99).
+    :class:`~continuousnormalizingflows_tpu.config.SolverConfig`);
+    ``quadrature`` (interpolation adjoint — the closest analogue of the
+    reference's ``QuadratureAdjoint``, icnf.jl:90-99) requires ``dopri5``;
+    ``adjoint`` (backsolve) works with any method and is the default.
     """
     if cfg.gradient == "backprop":
         return odeint(f, y0, t0, t1, args, cfg)
+    if cfg.gradient == "quadrature":
+        return _odeint_quadrature(f, cfg, y0, t0, t1, args)
     return _odeint_adjoint(f, cfg, y0, t0, t1, args)

@@ -23,7 +23,7 @@ state is kept (reference ``save_everystep = false``, ``base_icnf.jl:134-140``).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,14 @@ from jax import lax
 
 from ..config import SolverConfig
 
-__all__ = ["odeint", "odeint_fixed", "odeint_dopri5"]
+__all__ = [
+    "odeint",
+    "odeint_fixed",
+    "odeint_dopri5",
+    "odeint_dopri5_dense",
+    "DenseSolution",
+    "eval_dense",
+]
 
 Pytree = Any
 ODEFunc = Callable[[jax.Array, Pytree, Pytree], Pytree]
@@ -200,6 +207,161 @@ def odeint_dopri5(
     state0 = (t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.asarray(False))
     _t, y1, _dt, _k, nfe, _steps, _done = lax.while_loop(cond, body, state0)
     return y1, nfe
+
+
+# ---------------------------------------------------------------------------
+# dense output (for the interpolation/quadrature adjoint)
+# ---------------------------------------------------------------------------
+
+
+class DenseSolution(NamedTuple):
+    """Piecewise cubic-Hermite interpolant of an adaptive solve.
+
+    Nodes are the *accepted* step endpoints ``(t_j, y_j, f_j)`` stored in solve
+    order; time is normalized to ``s = (t - t0) / (t1 - t0) ∈ [0, 1]`` so the
+    node array is monotone increasing regardless of integration direction
+    (``generate`` solves t1 → t0, base_icnf.jl:318).  Unused buffer slots hold
+    ``s = +inf`` so ``searchsorted`` never selects them.
+
+    This is the TPU-native analogue of the dense forward solution the
+    reference's ``QuadratureAdjoint`` interpolates (SciMLSensitivity;
+    reference sol_kwargs icnf.jl:90-99): cubic Hermite on (y, f) node pairs is
+    the classic O(h^4) interpolant — one order below the DP5 solution but
+    evaluated *between error-controlled nodes*, and it needs no extra stage
+    storage (f_j is the FSAL stage, already computed).
+    """
+
+    s: jax.Array  # (max_nodes,) normalized node times, +inf padded
+    ys: Any  # pytree, leaves (max_nodes, ...)
+    fs: Any  # pytree, leaves (max_nodes, ...)
+    n: jax.Array  # int32 — number of valid nodes
+    t0: jax.Array
+    t1: jax.Array
+
+
+def eval_dense(dense: DenseSolution, t: jax.Array) -> Pytree:
+    """Evaluate the interpolant at scalar time ``t`` (clamped to the span)."""
+    span = dense.t1 - dense.t0
+    s = jnp.clip((t - dense.t0) / span, 0.0, 1.0)
+    # segment index: nodes i, i+1 bracket s
+    i = jnp.clip(jnp.searchsorted(dense.s, s, side="right") - 1, 0, dense.n - 2)
+    s_a = dense.s[i]
+    s_b = dense.s[i + 1]
+    h_s = s_b - s_a
+    theta = jnp.clip((s - s_a) / jnp.where(h_s == 0, 1.0, h_s), 0.0, 1.0)
+    h_t = h_s * span  # segment length in *real* time units (f is dy/dt)
+
+    def interp(y_nodes, f_nodes):
+        ya = y_nodes[i]
+        yb = y_nodes[i + 1]
+        fa = f_nodes[i]
+        fb = f_nodes[i + 1]
+        dy = yb - ya
+        th = theta.astype(ya.dtype)
+        ht = h_t.astype(ya.dtype)
+        # standard cubic Hermite in Horner-ish form
+        a = ya
+        b = fa * ht
+        c = 3.0 * dy - (2.0 * fa + fb) * ht
+        d = -2.0 * dy + (fa + fb) * ht
+        return a + th * (b + th * (c + th * d))
+
+    return jax.tree_util.tree_map(interp, dense.ys, dense.fs)
+
+
+def odeint_dopri5_dense(
+    f: ODEFunc,
+    y0: Pytree,
+    t0: jax.Array,
+    t1: jax.Array,
+    args: Pytree,
+    cfg: SolverConfig,
+) -> Tuple[Pytree, jax.Array, DenseSolution]:
+    """Adaptive Dormand-Prince 5(4) that also returns a :class:`DenseSolution`.
+
+    Buffer capacity is ``cfg.dense_max_nodes``; if a solve accepts more steps
+    than that (far beyond the ~4-40 typical at rtol 1e-4), later nodes
+    overwrite the last slot and interpolation accuracy degrades gracefully in
+    the tail instead of erroring (shapes must be static under jit).
+    """
+    tdt = _time_dtype(y0)
+    t0 = jnp.asarray(t0, tdt)
+    t1 = jnp.asarray(t1, tdt)
+    span = t1 - t0
+    direction = jnp.sign(span)
+    tiny = jnp.asarray(1e-12, tdt)
+    max_nodes = int(cfg.dense_max_nodes)
+
+    k1 = f(t0, y0, args)
+    dt_init = span * jnp.asarray(cfg.dt0, tdt)
+    inv_order = 1.0 / 5.0
+
+    buf_s = jnp.full((max_nodes,), jnp.inf, jnp.float32)
+    buf_y = jax.tree_util.tree_map(
+        lambda l: jnp.zeros((max_nodes,) + l.shape, l.dtype), y0
+    )
+    buf_f = jax.tree_util.tree_map(
+        lambda l: jnp.zeros((max_nodes,) + l.shape, l.dtype), k1
+    )
+
+    def write_node(bufs, idx, t, y, k):
+        b_s, b_y, b_f = bufs
+        idx = jnp.minimum(idx, max_nodes - 1)
+        s = ((t - t0) / span).astype(jnp.float32)
+        b_s = b_s.at[idx].set(s)
+        b_y = jax.tree_util.tree_map(
+            lambda buf, l: lax.dynamic_update_index_in_dim(buf, l, idx, 0), b_y, y
+        )
+        b_f = jax.tree_util.tree_map(
+            lambda buf, l: lax.dynamic_update_index_in_dim(buf, l, idx, 0), b_f, k
+        )
+        return (b_s, b_y, b_f)
+
+    bufs0 = write_node((buf_s, buf_y, buf_f), jnp.int32(0), t0, y0, k1)
+
+    def cond(state):
+        (_t, _y, _dt, _k1, _nfe, steps, done, _bufs, _n) = state
+        return jnp.logical_and(jnp.logical_not(done), steps < cfg.max_steps)
+
+    def body(state):
+        (t, y, dt, k1, nfe, steps, _done, bufs, n) = state
+        remaining = t1 - t
+        dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
+        y5, err, k7 = _dopri5_step(f, t, y, dt_c, k1, args)
+        ratio = _rms_error_ratio(err, y, y5, cfg.rtol, cfg.atol)
+        accept = ratio <= 1.0
+
+        factor = jnp.clip(
+            cfg.safety * jnp.power(jnp.maximum(ratio, 1e-10), -inv_order),
+            cfg.min_factor,
+            cfg.max_factor,
+        ).astype(tdt)
+        dt_next = dt_c * factor
+
+        t_new = jnp.where(accept, t + dt_c, t)
+        y_new = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b), y5, y)
+        k_new = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b), k7, k1)
+
+        # on accept, store the new endpoint (t_new, y_new, f(t_new) = k7 FSAL)
+        bufs_acc = write_node(bufs, n, t_new, y_new, k_new)
+        bufs_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), bufs_acc, bufs
+        )
+        n_new = jnp.where(accept, n + 1, n)
+
+        done = jnp.logical_and(
+            accept, jnp.abs(t1 - t_new) <= tiny * jnp.maximum(jnp.abs(t1), 1.0)
+        )
+        return (t_new, y_new, dt_next, k_new, nfe + 6, steps + 1, done, bufs_new, n_new)
+
+    state0 = (
+        t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.asarray(False),
+        bufs0, jnp.int32(1),
+    )
+    (_t, y1, _dt, _k, nfe, _steps, _done, bufs, n) = lax.while_loop(cond, body, state0)
+    b_s, b_y, b_f = bufs
+    dense = DenseSolution(s=b_s, ys=b_y, fs=b_f, n=n, t0=t0, t1=t1)
+    return y1, nfe, dense
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,30 @@ def test_smoke_sweep(mode, trace, conditioned, planar):
     assert gx.shape == x.shape and jnp.all(jnp.isfinite(gx))
 
 
+def test_quadrature_gradient_full_model():
+    """gradient='quadrature' (interpolation adjoint, the QuadratureAdjoint
+    analogue) must produce loss gradients matching backprop on the full ICNF
+    train path — probes, steering off for determinism."""
+    solver_q = SolverConfig(method="dopri5", rtol=1e-6, atol=1e-6,
+                            gradient="quadrature")
+    solver_bp = SolverConfig(method="rk4", gradient="backprop", fixed_steps=64)
+    key = jax.random.PRNGKey(0)
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+
+    grads = {}
+    params0 = None
+    for name, solver in (("q", solver_q), ("bp", solver_bp)):
+        icnf = make(nvariables=2, solver=solver, steer_rate=0.0)
+        params = icnf.init(jax.random.PRNGKey(7))
+        if params0 is None:
+            params0 = params
+        g = jax.grad(lambda p: cnf.loss(icnf, Mode.TRAIN, x, p, key=key))(params)
+        grads[name] = jax.tree_util.tree_leaves(g)
+
+    for a, b in zip(grads["q"], grads["bp"]):
+        assert jnp.max(jnp.abs(a - b)) < 2e-3, (a, b)
+
+
 def test_vector_mode_single_sample():
     """A 1-D input behaves as the reference's VectorMode: scalar outputs."""
     icnf = make(nvariables=2)

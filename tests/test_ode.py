@@ -13,7 +13,13 @@ import pytest
 
 from continuousnormalizingflows_tpu.config import SolverConfig
 from continuousnormalizingflows_tpu.ops.adjoint import odeint_diff
-from continuousnormalizingflows_tpu.ops.ode import odeint, odeint_dopri5, odeint_fixed
+from continuousnormalizingflows_tpu.ops.ode import (
+    eval_dense,
+    odeint,
+    odeint_dopri5,
+    odeint_dopri5_dense,
+    odeint_fixed,
+)
 
 
 def f_decay(t, y, args):
@@ -72,6 +78,39 @@ class TestAccuracy:
         assert jnp.max(jnp.abs(out - jnp.exp(-0.5))) < 1e-4
 
 
+class TestDenseOutput:
+    def test_interpolant_accuracy(self):
+        """Dense cubic-Hermite evaluation vs the analytic trajectory at many
+        off-node times."""
+        cfg = SolverConfig(rtol=1e-6, atol=1e-6)
+        y0 = jnp.array([1.0, 2.0])
+
+        @jax.jit
+        def solve(y0_):
+            return odeint_dopri5_dense(f_decay, y0_, 0.0, 1.0, None, cfg)
+
+        y1, nfe, dense = solve(y0)
+        assert int(dense.n) >= 2
+        ts = jnp.linspace(0.0, 1.0, 23)
+        for t in ts:
+            y_t = eval_dense(dense, t)
+            ref = y0 * jnp.exp(-t)
+            assert jnp.max(jnp.abs(y_t - ref)) < 1e-4, float(t)
+
+    def test_interpolant_reverse(self):
+        cfg = SolverConfig(rtol=1e-6, atol=1e-6)
+        y1 = jnp.array([0.5])
+
+        @jax.jit
+        def solve(y1_):
+            return odeint_dopri5_dense(f_decay, y1_, 1.0, 0.0, None, cfg)
+
+        _y0, _nfe, dense = solve(y1)
+        y_mid = eval_dense(dense, jnp.float32(0.5))
+        # trajectory through (t=1, 0.5): y(t) = 0.5 e^{1-t}
+        assert jnp.max(jnp.abs(y_mid - 0.5 * jnp.exp(0.5))) < 1e-4
+
+
 class TestGradients:
     def test_backprop_through_scan(self):
         cfg = SolverConfig(method="rk4", gradient="backprop", fixed_steps=32)
@@ -102,6 +141,68 @@ class TestGradients:
         ga, gy0 = grads(jnp.float32(0.3), jnp.array([1.0, 2.0]))
         assert abs(float(ga) - 3 * jnp.exp(0.3)) < 1e-3  # sum(y0) * e^a
         assert jnp.max(jnp.abs(gy0 - jnp.exp(0.3))) < 1e-3  # e^a per element
+
+    def test_quadrature_adjoint_matches_analytic(self):
+        cfg = SolverConfig(method="dopri5", gradient="quadrature", rtol=1e-6, atol=1e-6)
+
+        @jax.jit
+        def grads(a, y0):
+            def run(a_, y0_):
+                y1, _ = odeint_diff(f_linear, y0_, 0.0, 1.0, a_, cfg)
+                return jnp.sum(y1)
+
+            return jax.grad(run, argnums=(0, 1))(a, y0)
+
+        ga, gy0 = grads(jnp.float32(0.3), jnp.array([1.0, 2.0]))
+        assert abs(float(ga) - 3 * jnp.exp(0.3)) < 1e-3
+        assert jnp.max(jnp.abs(gy0 - jnp.exp(0.3))) < 1e-3
+
+    def test_quadrature_matches_backprop(self):
+        """Interpolation (quadrature) adjoint vs exact discrete gradients."""
+
+        def f(t, y, args):
+            return jnp.tanh(y @ args["w"]) + 0.1 * t * y
+
+        w = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (3, 3))
+        y0 = jax.random.normal(jax.random.PRNGKey(1), (4, 3))
+
+        cfg_bp = SolverConfig(method="rk4", gradient="backprop", fixed_steps=64)
+        cfg_q = SolverConfig(
+            method="dopri5", gradient="quadrature", rtol=1e-7, atol=1e-7
+        )
+
+        def make_grads(cfg):
+            @jax.jit
+            def grads(w_, y0_):
+                def run(w__, y0__):
+                    y1, _ = odeint_diff(f, y0__, 0.0, 1.0, {"w": w__}, cfg)
+                    return jnp.sum(jnp.square(y1))
+
+                return jax.grad(run, argnums=(0, 1))(w_, y0_)
+
+            return grads
+
+        g_bp = make_grads(cfg_bp)(w, y0)
+        g_q = make_grads(cfg_q)(w, y0)
+        for a, b in zip(g_bp, g_q):
+            assert jnp.max(jnp.abs(a - b)) < 1e-3
+
+    def test_quadrature_reverse_span(self):
+        """generate() differentiates through a t1→t0 solve — the dense
+        interpolant must handle decreasing time spans."""
+        cfg = SolverConfig(method="dopri5", gradient="quadrature", rtol=1e-6, atol=1e-6)
+
+        @jax.jit
+        def grad_y1(y1):
+            def run(y1_):
+                y0, _ = odeint_diff(f_decay, y1_, 1.0, 0.0, None, cfg)
+                return jnp.sum(y0)
+
+            return jax.grad(run)(y1)
+
+        g = grad_y1(jnp.array([1.0, 2.0]))
+        # y0 = y1 * e^{+1} (integrating dy/dt=-y backward) → dy0/dy1 = e
+        assert jnp.max(jnp.abs(g - jnp.exp(1.0))) < 1e-3
 
     def test_adjoint_matches_backprop(self):
         """Continuous adjoint and discretize-then-optimize must agree on a

@@ -178,6 +178,18 @@ class ICNFConfig:
     # 128-lane contraction padding is free, and loses at the tiny default
     # widths where XLA contracts at k=24 while the kernel pays k=128.
     fused: bool = False
+    # Array layout *inside the ODE solve*:
+    #   "batch_first"   — (batch, features): natural NumPy layout, batch on
+    #                     MXU rows; features live in the 128-lane dimension,
+    #                     so widths << 128 waste lanes on every elementwise op
+    #                     and memory access.
+    #   "feature_first" — (features, batch): batch in lanes (the TPU-packed
+    #                     analogue of the reference's d×n samples-last layout,
+    #                     mlj_ext/core_icnf.jl:33); removes the lane-padding
+    #                     bound for the tiny reference-default nets.
+    # The public API stays batch-first either way — transposes happen once per
+    # solve, not per step.
+    layout: str = "batch_first"
 
     def __post_init__(self) -> None:
         if self.naugments < 0:
@@ -188,6 +200,8 @@ class ICNFConfig:
             object.__setattr__(self, "trace", TraceEstimator(self.trace))
         if not isinstance(self.probe_dist, ProbeDist):
             object.__setattr__(self, "probe_dist", ProbeDist(self.probe_dist))
+        if self.layout not in ("batch_first", "feature_first"):
+            raise ValueError(f"unknown layout {self.layout!r}")
         object.__setattr__(self, "tspan", (float(self.tspan[0]), float(self.tspan[1])))
 
     # ---- derived sizes (reference icnf.jl:62-66, base_icnf.jl:13-21) ----

@@ -111,6 +111,16 @@ def _solve(
             )
             return u1, jnp.int32(4 * cfg.solver.fixed_steps)
     f_aug = make_augmented_dynamics(cfg, icnf.net, mode)
+    if cfg.layout == "feature_first":
+        # batch moves to the lane (minor-most) dimension for the whole solve;
+        # one transpose in, one out — not per step (ICNFConfig.layout).
+        args = {
+            "params": params,
+            "eps": None if eps is None else jnp.swapaxes(eps, 1, 2),
+            "ys": None if ys is None else ys.T,
+        }
+        u1_t, nfe = odeint_diff(f_aug, u0.T, t0, t1, args, cfg.solver)
+        return u1_t.T, nfe
     args = {"params": params, "eps": eps, "ys": ys}
     return odeint_diff(f_aug, u0, t0, t1, args, cfg.solver)
 

@@ -76,10 +76,14 @@ class ICNF:
         solver: Optional[SolverConfig] = None,
         net: Optional[DynamicsNet] = None,
         precision: str = "highest",
+        fused: bool = False,
+        layout: str = "batch_first",
     ) -> "ICNF":
         import jax.numpy as jnp
 
         cfg = ICNFConfig(
+            fused=fused,
+            layout=layout,
             nvariables=nvariables,
             naugments=naugments,
             nconditions=nconditions,

@@ -44,6 +44,16 @@ class DynamicsNet:
     def apply(self, params: Params, x: jax.Array) -> jax.Array:  # pragma: no cover
         raise NotImplementedError
 
+    def apply_t(self, params: Params, x: jax.Array) -> jax.Array:
+        """Feature-first apply: ``x`` is ``(n_in, batch)`` → ``(n_out, batch)``.
+
+        Used by the ``layout="feature_first"`` solve path, which keeps the
+        batch in the TPU lane (minor-most) dimension so small feature widths
+        don't waste 128-lane vector registers.  Default falls back to the
+        batch-first ``apply`` via transposes; built-ins override with native
+        transposed chains."""
+        return jnp.swapaxes(self.apply(params, jnp.swapaxes(x, 0, -1)), 0, -1)
+
 
 def _glorot_uniform(key: jax.Array, shape: Tuple[int, int], dtype) -> jax.Array:
     """Lux's Dense default weight init (glorot uniform) so statistical behavior
@@ -108,6 +118,16 @@ class MLP(DynamicsNet):
                 h = self.activation(h)
         return h
 
+    def apply_t(self, params: Params, x: jax.Array) -> jax.Array:
+        """Feature-first chain ``Wᵀ h + b`` — same params, batch in lanes."""
+        h = x
+        last = len(params) - 1
+        for i, layer in enumerate(params):
+            h = jnp.matmul(layer["w"].T, h, precision=self.precision) + layer["b"][:, None]
+            if i != last:
+                h = self.activation(h)
+        return h
+
 
 class Planar(DynamicsNet):
     """Planar-flow dynamics ``u * act(w . z + b)``.
@@ -149,6 +169,15 @@ class Planar(DynamicsNet):
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
         return self.activation(self._pre(params, x))[..., None] * params["u"]
+
+    def _pre_t(self, params: Params, x: jax.Array) -> jax.Array:
+        h = jnp.matmul(params["w"][None, :], x, precision="highest")[0]
+        if self.use_bias:
+            h = h + params["b"]
+        return h
+
+    def apply_t(self, params: Params, x: jax.Array) -> jax.Array:
+        return params["u"][:, None] * self.activation(self._pre_t(params, x))[None, :]
 
 
 def planar_h(net: Planar, params: Params, x: jax.Array) -> jax.Array:

@@ -76,6 +76,111 @@ def _row_norm(x: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.sum(jnp.square(x), axis=-1) + 1e-20)
 
 
+def make_field_t(
+    cfg: ICNFConfig, net: DynamicsNet
+) -> Callable[[jax.Array, jax.Array, Pytree, Optional[jax.Array]], jax.Array]:
+    """Feature-first variant of :func:`make_field`: ``z`` is ``(nz, batch)``,
+    conditions ``(nconditions, batch)``; concatenation on axis 0."""
+
+    def field(t: jax.Array, z: jax.Array, params: Pytree, ys: Optional[jax.Array]) -> jax.Array:
+        rows = [z]
+        if not cfg.autonomous:
+            rows.append(jnp.full((1, z.shape[1]), t, z.dtype))
+        if cfg.conditioned:
+            if ys is None:
+                raise ValueError("conditioned ICNF requires ys")
+            rows.append(jnp.broadcast_to(ys, (ys.shape[0], z.shape[1])).astype(z.dtype))
+        return net.apply_t(params, jnp.concatenate(rows, axis=0))
+
+    return field
+
+
+def _make_augmented_dynamics_t(
+    cfg: ICNFConfig, net: DynamicsNet, mode: Mode
+) -> Callable[[jax.Array, jax.Array, Pytree], jax.Array]:
+    """Feature-first twin of the factory below: state ``u`` is
+    ``(state_dim, batch)``, probes ``(P, nz, batch)``, conditions
+    ``(nconditions, batch)`` — batch lives in the TPU lane dimension so the
+    tiny reference-default widths don't waste 128-lane vregs (see
+    ``ICNFConfig.layout``).  Same math, reductions over axis 0."""
+    nz = cfg.nz
+    estimator = cfg.trace_for(mode)
+    compute_reg_z = mode.regularized and cfg.norm_z
+    compute_reg_j = mode.regularized and cfg.norm_j
+    field = make_field_t(cfg, net)
+
+    def col_norm(x: jax.Array, axis: int = 0) -> jax.Array:
+        return jnp.sqrt(jnp.sum(jnp.square(x), axis=axis) + 1e-20)
+
+    def f_aug_t(t: jax.Array, u: jax.Array, args: Pytree) -> jax.Array:
+        params = args["params"]
+        eps = args.get("eps")
+        ys = args.get("ys")
+        z = u[:nz]
+        batch = z.shape[1]
+
+        g = lambda zz: field(t, zz, params, ys)
+
+        if estimator is TraceEstimator.EXACT and isinstance(net, _Planar):
+            rows = [z]
+            if not cfg.autonomous:
+                rows.append(jnp.full((1, batch), t, z.dtype))
+            if cfg.conditioned:
+                rows.append(jnp.broadcast_to(ys, (ys.shape[0], batch)).astype(z.dtype))
+            x_full = jnp.concatenate(rows, axis=0)
+            pre = net._pre_t(params, x_full)  # (batch,)
+            act_grad = jax.vmap(jax.grad(lambda s: net.activation(s)))(pre)
+            dz = params["u"][:, None] * net.activation(pre)[None, :]
+            uw = jnp.sum(params["u"][:nz] * params["w"][:nz])
+            div = uw * act_grad
+            if compute_reg_j:
+                reg_j = (
+                    jnp.abs(act_grad)
+                    * jnp.linalg.norm(params["u"][:nz])
+                    * jnp.linalg.norm(params["w"][:nz])
+                )
+            else:
+                reg_j = jnp.zeros((batch,), u.dtype)
+        elif estimator is TraceEstimator.EXACT:
+            dz, lin = jax.linearize(g, z)
+            basis = jnp.eye(nz, dtype=z.dtype)
+            jcols = jax.vmap(lambda e: lin(jnp.broadcast_to(e[:, None], z.shape)))(basis)
+            # jcols[i, j, b] = ∂g_j/∂z_i ; divergence = Σ_i J[i, i, b]
+            div = jnp.einsum("iib->b", jcols)
+            if compute_reg_j:
+                reg_j = jnp.sqrt(jnp.sum(jnp.square(jcols), axis=(0, 1)))
+            else:
+                reg_j = jnp.zeros((batch,), u.dtype)
+        elif estimator is TraceEstimator.HUTCH_VJP:
+            dz, vjp_fn = jax.vjp(g, z)
+            eps_j = jax.vmap(lambda e: vjp_fn(e)[0])(eps)  # (P, nz, batch)
+            div = jnp.mean(jnp.sum(eps_j * eps, axis=1), axis=0)
+            reg_j = (
+                jnp.mean(col_norm(eps_j, axis=1), axis=0)
+                if compute_reg_j
+                else jnp.zeros((batch,), u.dtype)
+            )
+        elif estimator is TraceEstimator.HUTCH_JVP:
+            dz, lin = jax.linearize(g, z)
+            j_eps = jax.vmap(lin)(eps)  # (P, nz, batch)
+            div = jnp.mean(jnp.sum(eps * j_eps, axis=1), axis=0)
+            reg_j = (
+                jnp.mean(col_norm(j_eps, axis=1), axis=0)
+                if compute_reg_j
+                else jnp.zeros((batch,), u.dtype)
+            )
+        else:  # pragma: no cover
+            raise ValueError(f"unknown estimator {estimator}")
+
+        reg_z = col_norm(dz) if compute_reg_z else jnp.zeros((batch,), u.dtype)
+
+        return jnp.concatenate(
+            [dz, -div[None, :], reg_z[None, :], reg_j[None, :]], axis=0
+        )
+
+    return f_aug_t
+
+
 def make_augmented_dynamics(
     cfg: ICNFConfig, net: DynamicsNet, mode: Mode
 ) -> Callable[[jax.Array, jax.Array, Pytree], jax.Array]:
@@ -85,7 +190,14 @@ def make_augmented_dynamics(
     "ys": (batch, nconditions) | None}`` — keeping the probe and conditions in
     ``args`` (rather than closed over) lets the continuous adjoint compute
     cotangents for all of them in one VJP sweep.
+
+    With ``cfg.layout == "feature_first"`` the returned function instead takes
+    ``u`` as ``(state_dim, batch)`` with probes ``(P, nz, batch)`` and
+    conditions ``(nconditions, batch)`` (see :func:`_make_augmented_dynamics_t`);
+    the transposition happens once per solve in ``core._solve``.
     """
+    if cfg.layout == "feature_first":
+        return _make_augmented_dynamics_t(cfg, net, mode)
     nz = cfg.nz
     estimator = cfg.trace_for(mode)
     compute_reg_z = mode.regularized and cfg.norm_z

@@ -303,6 +303,7 @@ def fused_solve_applicable(cfg: ICNFConfig, net, mode: Mode) -> bool:
 
     return (
         cfg.fused
+        and cfg.layout == "batch_first"
         and cfg.solver.method == "rk4"
         and cfg.solver.gradient == "backprop"
         and mode is Mode.TRAIN

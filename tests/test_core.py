@@ -68,6 +68,38 @@ def test_smoke_sweep(mode, trace, conditioned, planar):
     assert gx.shape == x.shape and jnp.all(jnp.isfinite(gx))
 
 
+@pytest.mark.parametrize("mode", [Mode.TRAIN, Mode.TEST])
+@pytest.mark.parametrize("trace", [TraceEstimator.HUTCH_VJP, TraceEstimator.HUTCH_JVP])
+@pytest.mark.parametrize("conditioned", [False, True])
+@pytest.mark.parametrize("planar", [False, True])
+def test_feature_first_layout_parity(mode, trace, conditioned, planar):
+    """layout='feature_first' (batch in TPU lanes) must be numerically
+    equivalent to the default batch-first path: same probes/steer keys →
+    same loss, matching gradients, same generate() samples."""
+    ncond = 2 if conditioned else 0
+    key = jax.random.PRNGKey(3)
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    ys = jnp.ones((8, ncond)) if conditioned else None
+
+    out = {}
+    for layout in ("batch_first", "feature_first"):
+        icnf = make(nvariables=2, planar=planar, trace=trace,
+                    nconditions=ncond, layout=layout)
+        params = icnf.init(jax.random.PRNGKey(7))
+        l = cnf.loss(icnf, mode, x, params, key=key, ys=ys)
+        g = jax.grad(lambda p: cnf.loss(icnf, mode, x, p, key=key, ys=ys))(params)
+        gen_ys = ys[:4] if conditioned else None
+        s = cnf.generate(icnf, mode, params, jax.random.PRNGKey(2), 4, ys=gen_ys)
+        out[layout] = (l, jax.tree_util.tree_leaves(g), s)
+
+    l_a, g_a, s_a = out["batch_first"]
+    l_b, g_b, s_b = out["feature_first"]
+    assert abs(float(l_a) - float(l_b)) < 1e-4
+    for a, b in zip(g_a, g_b):
+        assert jnp.max(jnp.abs(a - b)) < 1e-3
+    assert jnp.max(jnp.abs(s_a - s_b)) < 1e-4
+
+
 def test_quadrature_gradient_full_model():
     """gradient='quadrature' (interpolation adjoint, the QuadratureAdjoint
     analogue) must produce loss gradients matching backprop on the full ICNF

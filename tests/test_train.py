@@ -82,6 +82,37 @@ def test_checkpoint_roundtrip(tmp_path, beta_fit):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_checkpointer(tmp_path, beta_fit):
+    """AsyncCheckpointer: non-blocking save, durable after wait, load parity;
+    worker errors resurface on the caller thread."""
+    from continuousnormalizingflows_tpu.utils import AsyncCheckpointer
+
+    _icnf, _model, result, _x = beta_fit
+    path = str(tmp_path / "ackpt")
+    with AsyncCheckpointer() as ckpt:
+        ckpt.save(path, result.params, step=7)
+    params2, _opt, step = load_checkpoint(path)
+    assert step == 7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(result.params), jax.tree_util.tree_leaves(params2)
+    ):
+        assert jnp.array_equal(a, b)
+
+    # a second save overwrites and joins the first
+    ckpt2 = AsyncCheckpointer()
+    ckpt2.save(path, params2, step=8)
+    ckpt2.save(path, params2, step=9)
+    ckpt2.wait()
+    _p, _o, step = load_checkpoint(path)
+    assert step == 9
+
+    # error propagation: unwritable path surfaces at wait()
+    bad = AsyncCheckpointer()
+    bad.save("/proc/definitely/not/writable", result.params, step=1)
+    with pytest.raises(BaseException):
+        bad.wait()
+
+
 def test_warm_start(beta_fit):
     """fit(params=...) resumes from given params instead of re-initializing."""
     icnf, _model, result, x = beta_fit

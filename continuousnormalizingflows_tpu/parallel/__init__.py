@@ -4,6 +4,7 @@ from .mesh import (
     make_mesh,
     replicated,
     shard_batch_arrays,
+    shard_mlp_params,
     shard_train_step,
 )
 
@@ -12,6 +13,7 @@ __all__ = [
     "data_sharding",
     "replicated",
     "shard_batch_arrays",
+    "shard_mlp_params",
     "shard_train_step",
     "initialize_distributed",
 ]

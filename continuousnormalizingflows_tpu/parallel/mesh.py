@@ -38,6 +38,7 @@ __all__ = [
     "replicated",
     "shard_batch_arrays",
     "shard_train_step",
+    "shard_mlp_params",
     "initialize_distributed",
 ]
 
@@ -88,17 +89,57 @@ def shard_batch_arrays(mesh: Mesh, xs: jax.Array, ys: Optional[jax.Array] = None
     return xs, ys
 
 
+def shard_mlp_params(mesh: Mesh, params: Pytree) -> Pytree:
+    """Tensor parallelism for the dynamics MLP over the ``model`` axis —
+    the SURVEY §2.9 "TP" entry (no reference counterpart; the reference is
+    single-device).
+
+    Megatron-style scheme for the 3-layer reference-default net: layer-0
+    weights column-parallel (hidden dim sharded → activations sharded on
+    ``model``), layer-1 weights row-parallel (contraction over the sharded
+    hidden dim; GSPMD inserts the all-reduce), later layers replicated (the
+    output width is tiny).  Params are placed with ``device_put``, so
+    optimizer states built from them (``optax .init`` uses ``zeros_like``)
+    inherit the shardings and the jitted train step needs no explicit
+    ``in_shardings`` for them.
+    """
+    if mesh.shape.get("model", 1) == 1:
+        return jax.device_put(params, replicated(mesh))
+
+    def spec(i: int, name: str, leaf) -> NamedSharding:
+        if i == 0:
+            p = P(None, "model") if name == "w" else P("model")
+        elif i == 1:
+            p = P("model", None) if name == "w" else P()
+        else:
+            p = P()
+        return NamedSharding(mesh, p)
+
+    return [
+        {name: jax.device_put(leaf, spec(i, name, leaf)) for name, leaf in layer.items()}
+        for i, layer in enumerate(params)
+    ]
+
+
 def shard_train_step(
     step: Callable[..., Tuple[Pytree, Pytree, jax.Array]],
     mesh: Mesh,
     conditional: bool = False,
+    tensor_parallel: bool = False,
 ):
-    """jit the train step over the mesh: params/opt-state replicated, batch
-    sharded on ``data``.  XLA turns the global loss mean + ``jax.grad`` into
-    per-device compute with one gradient ``psum`` over ICI."""
+    """jit the train step over the mesh: batch sharded on ``data``, params/
+    opt-state replicated — or, with ``tensor_parallel=True``, carrying
+    whatever shardings the caller committed them with (see
+    :func:`shard_mlp_params`).  XLA turns the global loss mean + ``jax.grad``
+    into per-device compute with one gradient ``psum`` over ICI (plus the
+    row-parallel activation all-reduce in the TP case)."""
     repl = replicated(mesh)
     batch_sh = data_sharding(mesh)
     ys_sh = batch_sh if conditional else None
+    if tensor_parallel:
+        # params/opt-state shardings come from the committed inputs
+        return jax.jit(step, in_shardings=(None, None, repl, batch_sh, ys_sh),
+                       donate_argnums=(0, 1))
     return jax.jit(
         step,
         in_shardings=(repl, repl, repl, batch_sh, ys_sh),

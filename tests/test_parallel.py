@@ -17,6 +17,7 @@ from continuousnormalizingflows_tpu.parallel import (
     data_sharding,
     make_mesh,
     shard_batch_arrays,
+    shard_mlp_params,
     shard_train_step,
 )
 
@@ -95,6 +96,46 @@ def test_sharded_adaptive_solver_consistent():
         np.asarray(lp_single), np.asarray(lp_shard), rtol=1e-4, atol=1e-5
     )
     assert int(nfe_single) == int(nfe_shard)
+
+
+def test_tensor_parallel_train_step_matches():
+    """data=4 x model=2 mesh with Megatron-sharded MLP params (column-parallel
+    layer 0, row-parallel layer 1): full train step must reproduce the
+    single-device numbers — validates the TP scheme + GSPMD all-reduce
+    placement (SURVEY §2.9 'TP' entry; no reference counterpart)."""
+    # wider hidden dim so the model-axis split is nontrivial (h=32 -> 16+16)
+    from continuousnormalizingflows_tpu.models.nets import MLP
+
+    cfg = cnf.ICNFConfig(nvariables=2, solver=FAST)
+    net = MLP((cfg.n_in, 32, 32, cfg.n_out))
+    icnf = cnf.ICNF(config=cfg, net=net)
+    params = icnf.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    x = 0.4 * jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    key = jax.random.PRNGKey(2)
+
+    def step(params, opt_state, key, xs, ys):
+        l, grads = jax.value_and_grad(
+            lambda p: cnf.loss(icnf, Mode.TRAIN, xs, p, key=key)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    p_ref, _, l_ref = jax.jit(step)(params, opt.init(params), key, x, None)
+
+    mesh = make_mesh(data=4, model=2)
+    p_tp = shard_mlp_params(mesh, params)
+    assert "model" in str(p_tp[0]["w"].sharding.spec)
+    opt_tp = opt.init(p_tp)  # optimizer state inherits the param shardings
+    sharded = shard_train_step(step, mesh, conditional=False, tensor_parallel=True)
+    xs, _ = shard_batch_arrays(mesh, x)
+    p_sh, _, l_sh = sharded(p_tp, opt_tp, key, xs, None)
+
+    np.testing.assert_allclose(float(l_ref), float(l_sh), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
+    # updated params keep their TP shardings (no silent gather-to-replicated)
+    assert "model" in str(p_sh[0]["w"].sharding.spec)
 
 
 def test_estimator_with_mesh():

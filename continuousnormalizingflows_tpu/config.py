@@ -96,7 +96,7 @@ class SolverConfig:
     backprop with static shapes and rematerialization.
     """
 
-    method: str = "dopri5"  # "dopri5" | "rk4" | "euler"
+    method: str = "dopri5"  # "dopri5" | "tsit5" (adaptive) | "rk4" | "euler"
     rtol: float = 1.0e-4
     atol: float = 1.0e-4
     max_steps: int = 16_384  # adaptive-path bound (reference uses typemax(Int))
@@ -124,19 +124,20 @@ class SolverConfig:
     min_factor: float = 0.2
 
     def __post_init__(self) -> None:
-        if self.method not in ("dopri5", "rk4", "euler"):
+        adaptive = ("dopri5", "tsit5")
+        if self.method not in adaptive + ("rk4", "euler"):
             raise ValueError(f"unknown ODE method {self.method!r}")
         if self.gradient not in ("adjoint", "quadrature", "backprop"):
             raise ValueError(f"unknown gradient mode {self.gradient!r}")
-        if self.gradient == "backprop" and self.method == "dopri5":
+        if self.gradient == "backprop" and self.method in adaptive:
             raise ValueError(
                 "backprop gradients require a fixed-step method (rk4/euler); "
-                "use gradient='adjoint' with dopri5"
+                "use gradient='adjoint' with an adaptive method"
             )
-        if self.gradient == "quadrature" and self.method != "dopri5":
+        if self.gradient == "quadrature" and self.method not in adaptive:
             raise ValueError(
-                "the interpolation (quadrature) adjoint needs the adaptive "
-                "dense-output solver (method='dopri5'); fixed-step methods "
+                "the interpolation (quadrature) adjoint needs an adaptive "
+                "dense-output solver (dopri5/tsit5); fixed-step methods "
                 "support gradient='backprop'"
             )
 

@@ -75,7 +75,7 @@ def _adjoint_bwd(f, cfg, residuals, cotangents):
     # feeds back into the dynamics, so error-controlling it only forces
     # pointlessly small steps.
     error_weight = None
-    if cfg.adjoint_seminorm and cfg.method == "dopri5":
+    if cfg.adjoint_seminorm and cfg.method in ("dopri5", "tsit5"):
         error_weight = (
             jax.tree_util.tree_map(lambda _: True, y1),
             jax.tree_util.tree_map(lambda _: True, g_y1),

@@ -118,36 +118,98 @@ def _time_dtype(y0: Pytree):
 
 
 # ---------------------------------------------------------------------------
-# Dormand-Prince 5(4) tableau (FSAL)
+# embedded explicit-RK tableaus (FSAL: last row of A equals B, so the final
+# stage of an accepted step seeds the next step's first stage)
 # ---------------------------------------------------------------------------
 
-_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
-_A = (
-    (),
-    (1 / 5,),
-    (3 / 40, 9 / 40),
-    (44 / 45, -56 / 15, 32 / 9),
-    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
-    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
-    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+
+class _Tableau(NamedTuple):
+    name: str
+    C: tuple
+    A: tuple  # rows 1..s-1 (row i has i entries); final combination is B
+    B: tuple  # solution weights (== last A row for FSAL schemes)
+    BERR: tuple  # B - B̂ (error-estimate weights, length s+1 incl. FSAL stage)
+    order: int
+
+
+# Dormand-Prince 5(4) — the classic
+_DP_B = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84)
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40)
+DOPRI5 = _Tableau(
+    name="dopri5",
+    C=(0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0),
+    A=(
+        (1 / 5,),
+        (3 / 40, 9 / 40),
+        (44 / 45, -56 / 15, 32 / 9),
+        (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+        (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    ),
+    B=_DP_B,
+    BERR=tuple(b - b4 for b, b4 in zip(_DP_B + (0.0,), _DP_B4)),
+    order=5,
 )
-_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
-_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40)
-_BERR = tuple(b5 - b4 for b5, b4 in zip(_B5, _B4))
+
+# Tsitouras 5(4) (Tsit5, 2011) — same order/stage count as DP5 with smaller
+# error constants: ~10-25% fewer steps at equal tolerance on smooth problems
+# (SciML's default recommendation; the closest fixed-order analogue of
+# "reference VCABM efficiency" for non-stiff flows).
+_TS_B = (
+    0.09646076681806523,
+    0.01,
+    0.4798896504144996,
+    1.379008574103742,
+    -3.290069515436081,
+    2.324710524099774,
+)
+# B - B̂ from the published btilde coefficients (OrdinaryDiffEq Tsit5 constants)
+_TS_BERR = (
+    -0.00178001105222577714,
+    -0.0008164344596567469,
+    0.007880878010261995,
+    -0.1447110071732629,
+    0.5823571654525552,
+    -0.45808210592918697,
+    0.015151515151515152,
+)
+TSIT5 = _Tableau(
+    name="tsit5",
+    C=(0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0),
+    A=(
+        (0.161,),
+        (-0.008480655492356989, 0.335480655492357),
+        (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
+        (5.325864828439257, -11.748883564062828, 7.4955393428898365,
+         -0.09249506636175525),
+        (5.86145544294642, -12.92096931784711, 8.159367898576159,
+         -0.071584973281401, -0.028269050394068383),
+    ),
+    B=_TS_B,
+    BERR=_TS_BERR,
+    order=5,
+)
+
+_TABLEAUS = {"dopri5": DOPRI5, "tsit5": TSIT5}
+
+
+def _erk_step(tab: _Tableau, f: ODEFunc, t: jax.Array, y: Pytree, dt: jax.Array,
+              k1: Pytree, args: Pytree):
+    """One embedded trial step. ``k1 = f(t, y, args)`` is supplied (FSAL).
+    Returns ``(y_new, err, k_last)`` where ``k_last = f(t + dt, y_new, args)``
+    seeds the next step."""
+    ks = [k1]
+    for i, row in enumerate(tab.A):
+        yi = _tree_add_scaled(y, dt, *zip(row, ks))
+        ks.append(f(t + tab.C[i + 1] * dt, yi, args))
+    y_new = _tree_add_scaled(y, dt, *zip(tab.B, ks))
+    k_last = f(t + dt, y_new, args)
+    ks.append(k_last)
+    err = _tree_scaled_sum(dt, *zip(tab.BERR, ks))
+    return y_new, err, k_last
 
 
 def _dopri5_step(f: ODEFunc, t: jax.Array, y: Pytree, dt: jax.Array, k1: Pytree, args: Pytree):
-    """One trial step. ``k1 = f(t, y, args)`` is supplied (FSAL). Returns
-    ``(y5, err, k7)`` where ``k7 = f(t + dt, y5, args)`` seeds the next step."""
-    ks = [k1]
-    for i in range(1, 6):
-        yi = _tree_add_scaled(y, dt, *zip(_A[i], ks))
-        ks.append(f(t + _C[i] * dt, yi, args))
-    y5 = _tree_add_scaled(y, dt, *zip(_A[6], ks))
-    k7 = f(t + dt, y5, args)
-    ks.append(k7)
-    err = _tree_scaled_sum(dt, *zip(_BERR, ks))
-    return y5, err, k7
+    return _erk_step(DOPRI5, f, t, y, dt, k1, args)
 
 
 def odeint_dopri5(
@@ -159,9 +221,12 @@ def odeint_dopri5(
     cfg: SolverConfig,
     error_weight: Pytree = None,
 ) -> Tuple[Pytree, jax.Array]:
-    """Adaptive Dormand-Prince 5(4) under ``lax.while_loop``. Not
-    reverse-differentiable directly — wrap with the continuous adjoint
+    """Adaptive embedded Runge-Kutta under ``lax.while_loop`` — the tableau
+    (Dormand-Prince 5(4) or Tsitouras 5(4)) is picked from ``cfg.method``.
+    Not reverse-differentiable directly — wrap with the continuous adjoint
     (:mod:`continuousnormalizingflows_tpu.ops.adjoint`) for gradients."""
+    tab = _TABLEAUS.get(cfg.method, DOPRI5)
+    n_evals = len(tab.A) + 1  # new f evals per trial step (FSAL)
     tdt = _time_dtype(y0)
     t0 = jnp.asarray(t0, tdt)
     t1 = jnp.asarray(t1, tdt)
@@ -172,7 +237,7 @@ def odeint_dopri5(
     k1 = f(t0, y0, args)
     dt_init = span * jnp.asarray(cfg.dt0, tdt)
 
-    inv_order = 1.0 / 5.0
+    inv_order = 1.0 / tab.order
 
     def cond(state):
         t, _y, _dt, _k1, nfe, steps, done = state
@@ -183,7 +248,7 @@ def odeint_dopri5(
         remaining = t1 - t
         # clamp the trial step so we can land exactly on t1
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
-        y5, err, k7 = _dopri5_step(f, t, y, dt_c, k1, args)
+        y5, err, k7 = _erk_step(tab, f, t, y, dt_c, k1, args)
         ratio = _rms_error_ratio(err, y, y5, cfg.rtol, cfg.atol, error_weight)
         accept = ratio <= 1.0
 
@@ -202,7 +267,7 @@ def odeint_dopri5(
             lambda a, b: jnp.where(accept, a, b), k7, k1
         )
         done = jnp.logical_and(accept, jnp.abs(t1 - t_new) <= tiny * jnp.maximum(jnp.abs(t1), 1.0))
-        return (t_new, y_new, dt_next, k_new, nfe + 6, steps + 1, done)
+        return (t_new, y_new, dt_next, k_new, nfe + n_evals, steps + 1, done)
 
     state0 = (t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.asarray(False))
     _t, y1, _dt, _k, nfe, _steps, _done = lax.while_loop(cond, body, state0)
@@ -284,6 +349,8 @@ def odeint_dopri5_dense(
     overwrite the last slot and interpolation accuracy degrades gracefully in
     the tail instead of erroring (shapes must be static under jit).
     """
+    tab = _TABLEAUS.get(cfg.method, DOPRI5)
+    n_evals = len(tab.A) + 1
     tdt = _time_dtype(y0)
     t0 = jnp.asarray(t0, tdt)
     t1 = jnp.asarray(t1, tdt)
@@ -294,7 +361,7 @@ def odeint_dopri5_dense(
 
     k1 = f(t0, y0, args)
     dt_init = span * jnp.asarray(cfg.dt0, tdt)
-    inv_order = 1.0 / 5.0
+    inv_order = 1.0 / tab.order
 
     buf_s = jnp.full((max_nodes,), jnp.inf, jnp.float32)
     buf_y = jax.tree_util.tree_map(
@@ -327,7 +394,7 @@ def odeint_dopri5_dense(
         (t, y, dt, k1, nfe, steps, _done, bufs, n) = state
         remaining = t1 - t
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
-        y5, err, k7 = _dopri5_step(f, t, y, dt_c, k1, args)
+        y5, err, k7 = _erk_step(tab, f, t, y, dt_c, k1, args)
         ratio = _rms_error_ratio(err, y, y5, cfg.rtol, cfg.atol)
         accept = ratio <= 1.0
 
@@ -352,7 +419,8 @@ def odeint_dopri5_dense(
         done = jnp.logical_and(
             accept, jnp.abs(t1 - t_new) <= tiny * jnp.maximum(jnp.abs(t1), 1.0)
         )
-        return (t_new, y_new, dt_next, k_new, nfe + 6, steps + 1, done, bufs_new, n_new)
+        return (t_new, y_new, dt_next, k_new, nfe + n_evals, steps + 1, done,
+                bufs_new, n_new)
 
     state0 = (
         t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.asarray(False),
@@ -426,6 +494,6 @@ def odeint(
     (``ops.adjoint.odeint_diff``). ``error_weight`` marks which state leaves
     enter the adaptive error norm (seminorm support; ignored by fixed-step
     methods)."""
-    if cfg.method == "dopri5":
+    if cfg.method in _TABLEAUS:
         return odeint_dopri5(f, y0, t0, t1, args, cfg, error_weight)
     return odeint_fixed(f, y0, t0, t1, args, cfg)

@@ -78,6 +78,71 @@ class TestAccuracy:
         assert jnp.max(jnp.abs(out - jnp.exp(-0.5))) < 1e-4
 
 
+class TestTsit5:
+    def test_accuracy_and_order(self):
+        """Tsit5 must meet the adaptive error control, and its fixed-step
+        Richardson convergence order must be ~5 — this pins the tableau
+        coefficients (a wrong entry collapses the observed order).  Measured
+        note (PARITY.md): its leading error constant is slightly *larger* than
+        DP5's on CNF-like fields, so dopri5 remains the default; tsit5 exists
+        for parity with the reference's pluggable `sol_kwargs.alg`."""
+        y0 = jnp.ones((4, 3))
+
+        def f(t, y, args):
+            return -y + 0.3 * jnp.sin(3.0 * t)
+
+        cfg = SolverConfig(method="tsit5", rtol=1e-6, atol=1e-6)
+        y1, nfe = jsolve(f, y0, 0.0, 2.0, None, cfg)
+        # analytic: linear ODE y' = -y + 0.3 sin(3t)
+        c = 0.3 / 10.0  # 1/(1+9)
+        part = c * (jnp.sin(3 * 2.0) - 3 * jnp.cos(3 * 2.0))
+        hom = (1.0 - c * (0.0 - 3.0)) * jnp.exp(-2.0)
+        ref = hom + part
+        assert jnp.max(jnp.abs(y1 - ref)) < 1e-5
+        assert int(nfe) > 6
+
+        # Richardson order check of the raw tableau
+        import math
+
+        from continuousnormalizingflows_tpu.ops.ode import TSIT5, _erk_step
+
+        def g(t, y, args):
+            return jnp.cos(10.0 * t) * y
+
+        def fixed_solve(n):
+            dt = jnp.float32(2.0) / n
+            ts = jnp.arange(n, dtype=jnp.float32) * dt
+
+            def body(carry, t):
+                y, k1 = carry
+                y2, _e, k2 = _erk_step(TSIT5, g, t, y, dt, k1, None)
+                return (y2, k2), None
+
+            y00 = jnp.array([1.0])
+            (y, _k), _ = jax.lax.scan(body, (y00, g(0.0, y00, None)), ts)
+            return y
+
+        d1 = float(jnp.abs(fixed_solve(16) - fixed_solve(32))[0])
+        d2 = float(jnp.abs(fixed_solve(32) - fixed_solve(64))[0])
+        order = math.log2(d1 / d2)
+        assert order > 4.5, (order, d1, d2)
+
+    def test_gradients_and_quadrature(self):
+        cfg = SolverConfig(method="tsit5", gradient="quadrature", rtol=1e-6, atol=1e-6)
+
+        @jax.jit
+        def grads(a, y0):
+            def run(a_, y0_):
+                y1, _ = odeint_diff(f_linear, y0_, 0.0, 1.0, a_, cfg)
+                return jnp.sum(y1)
+
+            return jax.grad(run, argnums=(0, 1))(a, y0)
+
+        ga, gy0 = grads(jnp.float32(0.3), jnp.array([1.0, 2.0]))
+        assert abs(float(ga) - 3 * jnp.exp(0.3)) < 1e-3
+        assert jnp.max(jnp.abs(gy0 - jnp.exp(0.3))) < 1e-3
+
+
 class TestDenseOutput:
     def test_interpolant_accuracy(self):
         """Dense cubic-Hermite evaluation vs the analytic trajectory at many

@@ -270,7 +270,14 @@ def odeint_dopri5(
         return (t_new, y_new, dt_next, k_new, nfe + n_evals, steps + 1, done)
 
     state0 = (t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.asarray(False))
-    _t, y1, _dt, _k, nfe, _steps, _done = lax.while_loop(cond, body, state0)
+    _t, y1, _dt, _k, nfe, _steps, done = lax.while_loop(cond, body, state0)
+    # Loud failure on step-budget exhaustion: the reference never truncates
+    # (maxiters = typemax, icnf.jl:86) — silently returning the state at
+    # max_steps would be a *wrong answer*, so poison it with NaN instead
+    # (surfaces immediately in loss/logpdf checks).
+    y1 = jax.tree_util.tree_map(
+        lambda l: jnp.where(done, l, jnp.full_like(l, jnp.nan)), y1
+    )
     return y1, nfe
 
 
@@ -426,7 +433,10 @@ def odeint_dopri5_dense(
         t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.asarray(False),
         bufs0, jnp.int32(1),
     )
-    (_t, y1, _dt, _k, nfe, _steps, _done, bufs, n) = lax.while_loop(cond, body, state0)
+    (_t, y1, _dt, _k, nfe, _steps, done, bufs, n) = lax.while_loop(cond, body, state0)
+    y1 = jax.tree_util.tree_map(
+        lambda l: jnp.where(done, l, jnp.full_like(l, jnp.nan)), y1
+    )
     b_s, b_y, b_f = bufs
     dense = DenseSolution(s=b_s, ys=b_y, fs=b_f, n=n, t0=t0, t1=t1)
     return y1, nfe, dense

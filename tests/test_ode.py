@@ -66,6 +66,18 @@ class TestAccuracy:
         assert jnp.max(jnp.abs(y1["a"] - jnp.exp(-1.0))) < 1e-4
         assert jnp.max(jnp.abs(y1["b"] - jnp.exp(2.0))) < 1e-2
 
+    def test_max_steps_exhaustion_poisons_result(self):
+        """Hitting the step budget must fail loudly (NaN), never silently
+        return a truncated trajectory — the reference never truncates
+        (maxiters = typemax, icnf.jl:86)."""
+        cfg = SolverConfig(rtol=1e-9, atol=1e-9, max_steps=3)
+        y1, _ = jsolve(f_decay, jnp.ones((2, 2)), 0.0, 10.0, None, cfg)
+        assert jnp.all(jnp.isnan(y1))
+        # ... while a budget that suffices stays finite
+        cfg_ok = SolverConfig(rtol=1e-4, atol=1e-4, max_steps=1000)
+        y1, _ = jsolve(f_decay, jnp.ones((2, 2)), 0.0, 10.0, None, cfg_ok)
+        assert jnp.all(jnp.isfinite(y1))
+
     def test_traced_endpoint(self):
         """t1 may be a traced scalar (STEER) — must work under jit."""
 

@@ -64,6 +64,32 @@ def test_no_retrace_on_repeat_calls():
     assert _inference_impl._cache_size() == before
 
 
+def test_benchmark_judge_logic(tmp_path):
+    """The PR-gate comparator (benchmarks/judge.py, the BenchmarkCI.judge
+    analogue) must pass identical runs and fail >threshold regressions."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    base = tmp_path / "base.json"
+    cand = tmp_path / "cand.json"
+    row = '{"solver":"adjoint","mode":"train","loss_fwd_ms":10.0,"loss_grad_ms":%s}\n'
+    base.write_text(row % "20.0")
+
+    cand.write_text(row % "21.0")  # 5% — fine
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "benchmarks", "judge.py"),
+         str(base), str(cand)], capture_output=True)
+    assert r.returncode == 0, r.stdout
+
+    cand.write_text(row % "30.0")  # 50% — regression
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "benchmarks", "judge.py"),
+         str(base), str(cand)], capture_output=True)
+    assert r.returncode == 1, r.stdout
+
+
 def test_mode_enum_stable():
     assert Mode("test") is Mode.TEST and Mode("train") is Mode.TRAIN
 

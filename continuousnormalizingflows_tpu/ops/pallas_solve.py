@@ -14,9 +14,12 @@ step loop live in VMEM for the entire solve; HBM sees exactly one read of
 ``(u0, eps, ys)`` and one write of ``u1`` per batch tile.
 
 Scope (static preconditions, checked by :func:`fused_solve_applicable`):
-3-layer softplus MLP dynamics with ``n_in, h, n_out <= 128`` (everything is
-one 128-lane tile), Hutchinson-VJP estimator, single probe — i.e. the
-reference-default configuration family.
+3-layer softplus MLP dynamics with ``n_in, n_out <= 128`` (state/probe are one
+128-lane tile) and hidden width ``h <= 512`` (hidden blocks padded to
+multiples of 128; the batch tile shrinks proportionally to keep VMEM bounded),
+Hutchinson-VJP estimator, single probe — i.e. the reference-default
+configuration family up to tabular-scale nets (BASELINE config 4: 43-d,
+h = 176).
 
 Forward kernel
     ``fori_loop`` over ``steps``; each RK4 stage is the fused
@@ -314,7 +317,7 @@ def fused_solve_applicable(cfg: ICNFConfig, net, mode: Mode) -> bool:
         and isinstance(net, MLP)
         and len(net.widths) == 4
         and net.widths[1] == net.widths[2]
-        and net.widths[1] <= LANE
+        and net.widths[1] <= 4 * LANE  # hidden dim blocked in 128-lane tiles
         and net.activation is jax.nn.softplus
         and cfg.n_in <= LANE
         and cfg.state_dim <= LANE
@@ -322,24 +325,42 @@ def fused_solve_applicable(cfg: ICNFConfig, net, mode: Mode) -> bool:
     )
 
 
+def _pad128(n: int) -> int:
+    return ((n + LANE - 1) // LANE) * LANE
+
+
 def _pack_params(params, n_in: int, h: int, n_out: int):
-    w1 = jnp.zeros((LANE, LANE), F32).at[:n_in, :h].set(params[0]["w"])
-    b1 = jnp.zeros((1, LANE), F32).at[0, :h].set(params[0]["b"])
-    w2 = jnp.zeros((LANE, LANE), F32).at[:h, :h].set(params[1]["w"])
-    b2 = jnp.zeros((1, LANE), F32).at[0, :h].set(params[1]["b"])
-    w3 = jnp.zeros((LANE, LANE), F32).at[:h, :n_out].set(params[2]["w"])
+    """Zero-pad: input/state/output widths to one 128-lane tile (applicability
+    requires them <= 128), the hidden width to a multiple of 128 (up to 4
+    tiles — zero-padded hidden units have zero outgoing weights, so padding is
+    exact everywhere including the backward)."""
+    hp = _pad128(h)
+    w1 = jnp.zeros((LANE, hp), F32).at[:n_in, :h].set(params[0]["w"])
+    b1 = jnp.zeros((1, hp), F32).at[0, :h].set(params[0]["b"])
+    w2 = jnp.zeros((hp, hp), F32).at[:h, :h].set(params[1]["w"])
+    b2 = jnp.zeros((1, hp), F32).at[0, :h].set(params[1]["b"])
+    w3 = jnp.zeros((hp, LANE), F32).at[:h, :n_out].set(params[2]["w"])
     b3 = jnp.zeros((1, LANE), F32).at[0, :n_out].set(params[2]["b"])
     return (w1, b1, w2, b2, w3, b3)
 
 
-def _specs(tile_b):
+def _specs(tile_b, hp: int = LANE):
     row = lambda i: (i, 0)
     const = lambda i: (0, 0)
     smem = pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM)
     vrow = pl.BlockSpec((tile_b, LANE), row, memory_space=pltpu.VMEM)
     vconst = pl.BlockSpec((LANE, LANE), const, memory_space=pltpu.VMEM)
     vbias = pl.BlockSpec((1, LANE), const, memory_space=pltpu.VMEM)
-    return smem, vrow, vconst, vbias
+    # per-weight specs matching the packed shapes (w1, b1, w2, b2, w3, b3)
+    wspecs = [
+        pl.BlockSpec((LANE, hp), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hp, hp), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hp, LANE), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, LANE), const, memory_space=pltpu.VMEM),
+    ]
+    return smem, vrow, vconst, vbias, wspecs
 
 
 def _tile_for(b: int, requested: int) -> Optional[int]:
@@ -365,6 +386,10 @@ def _prep(u0, eps, ys_pad, params, tspan, nz, t_col, steps, tile_b):
     n_in = params[0]["w"].shape[0]
     h = params[0]["w"].shape[1]
     n_out = params[2]["w"].shape[1]
+    # wider hidden tiles hold ~hp/LANE x the per-stage intermediates in VMEM;
+    # shrink the batch tile to compensate
+    if h > LANE:
+        tile_b = min(tile_b, max(8, (tile_b * LANE) // _pad128(h)))
     tb = _tile_for(b, tile_b)
     u0_p = jnp.pad(u0.astype(F32), ((0, 0), (0, LANE - sd)))
     eps_p = jnp.pad(eps.astype(F32), ((0, 0), (0, LANE - eps.shape[1])))
@@ -388,19 +413,19 @@ def _fused_solve_fwd(u0, eps, ys_pad, params, tspan, nz, t_col, steps, tile_b,
         u0, eps, ys_pad, params, tspan, nz, t_col, steps, tile_b
     )
     assert tb is not None, "caller must check fused-solve applicability"
-    smem, vrow, vconst, vbias = _specs(tb)
+    hp = packed[0].shape[1]
+    smem, vrow, vconst, vbias, wspecs = _specs(tb, hp)
 
     u1_p = pl.pallas_call(
         functools.partial(_solve_fwd_kernel, nz, t_col, steps, compute_dtype),
         grid=(b // tb,),
-        in_specs=[smem, smem, vrow, vrow, vrow, vconst, vbias, vconst, vbias,
-                  vconst, vbias],
+        in_specs=[smem, smem, vrow, vrow, vrow, *wspecs],
         out_specs=vrow,
         out_shape=jax.ShapeDtypeStruct((b, LANE), F32),
         cost_estimate=pl.CostEstimate(
-            flops=steps * 4 * 12 * b * LANE * LANE,
+            flops=steps * 4 * 12 * b * LANE * hp,
             bytes_accessed=4 * b * 4 * LANE,
-            transcendentals=steps * 16 * b * LANE,
+            transcendentals=steps * 16 * b * hp,
         ),
         interpret=jax.default_backend() != "tpu",
     )(t0a, dt, u0_p, eps_p, ys_full, *packed)
@@ -413,30 +438,30 @@ def _fused_solve_bwd(nz, t_col, steps, tile_b, compute_dtype, residuals, g):
     (b, sd, n_in, h, n_out, tb, u0_p, eps_p, ys_full, packed, t0a, dt) = _prep(
         u0, eps, ys_pad, params, tspan, nz, t_col, steps, tile_b
     )
-    smem, vrow, vconst, vbias = _specs(tb)
+    hp = packed[0].shape[1]
+    smem, vrow, vconst, vbias, wspecs = _specs(tb, hp)
     g_p = jnp.pad(g.astype(F32), ((0, 0), (0, LANE - sd)))
 
     outs = pl.pallas_call(
         functools.partial(_solve_bwd_kernel, nz, t_col, steps, compute_dtype),
         grid=(b // tb,),
-        in_specs=[smem, smem, vrow, vrow, vrow, vconst, vbias, vconst, vbias,
-                  vconst, vbias, vrow],
-        out_specs=[vrow, vrow, vconst, vbias, vconst, vbias, vconst, vbias],
+        in_specs=[smem, smem, vrow, vrow, vrow, *wspecs, vrow],
+        out_specs=[vrow, vrow, *wspecs],
         out_shape=[
             jax.ShapeDtypeStruct((b, LANE), F32),
             jax.ShapeDtypeStruct((b, LANE), F32),
-            jax.ShapeDtypeStruct((LANE, LANE), F32),
-            jax.ShapeDtypeStruct((1, LANE), F32),
-            jax.ShapeDtypeStruct((LANE, LANE), F32),
-            jax.ShapeDtypeStruct((1, LANE), F32),
-            jax.ShapeDtypeStruct((LANE, LANE), F32),
+            jax.ShapeDtypeStruct((LANE, hp), F32),
+            jax.ShapeDtypeStruct((1, hp), F32),
+            jax.ShapeDtypeStruct((hp, hp), F32),
+            jax.ShapeDtypeStruct((1, hp), F32),
+            jax.ShapeDtypeStruct((hp, LANE), F32),
             jax.ShapeDtypeStruct((1, LANE), F32),
         ],
         scratch_shapes=[pltpu.VMEM((steps, tb, LANE), F32)],
         cost_estimate=pl.CostEstimate(
-            flops=steps * 4 * 40 * b * LANE * LANE,
+            flops=steps * 4 * 40 * b * LANE * hp,
             bytes_accessed=4 * b * 6 * LANE,
-            transcendentals=steps * 60 * b * LANE,
+            transcendentals=steps * 60 * b * hp,
         ),
         interpret=jax.default_backend() != "tpu",
     )(t0a, dt, u0_p, eps_p, ys_full, *packed, g_p)

@@ -1,5 +1,6 @@
 from .mesh import (
     data_sharding,
+    host_local_batch,
     initialize_distributed,
     make_mesh,
     replicated,
@@ -15,5 +16,6 @@ __all__ = [
     "shard_batch_arrays",
     "shard_mlp_params",
     "shard_train_step",
+    "host_local_batch",
     "initialize_distributed",
 ]

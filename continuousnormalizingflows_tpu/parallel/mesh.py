@@ -121,6 +121,16 @@ def shard_mlp_params(mesh: Mesh, params: Pytree) -> Pytree:
     ]
 
 
+def host_local_batch(mesh: Mesh, local_xs: jax.Array) -> jax.Array:
+    """Assemble a *global* batch-sharded array from per-process local shards —
+    multi-host data loading (SURVEY §2.9 comm row: each host loads its own
+    rows; no host ever materializes the global batch).  ``local_xs`` is this
+    process's rows; the returned global array has
+    ``num_processes * local_rows`` rows sharded over ``data``.  Single-process
+    it reduces to ``device_put`` with the data sharding."""
+    return jax.make_array_from_process_local_data(data_sharding(mesh), local_xs)
+
+
 def shard_train_step(
     step: Callable[..., Tuple[Pytree, Pytree, jax.Array]],
     mesh: Mesh,

@@ -131,6 +131,49 @@ def test_multi_tile_param_grads():
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=1e-3, atol=1e-3)
 
 
+def test_wide_hidden_forward_and_grads():
+    """Hidden width above one lane tile (h=160 → hp=256): the tabular-scale
+    band (BASELINE config 4).  Forward + gradients must match XLA."""
+    from continuousnormalizingflows_tpu.models.nets import MLP
+
+    cfg = ICNFConfig(
+        nvariables=9,  # nz = 19, n_in = 20
+        solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=4,
+                            remat=False),
+    )
+    net = MLP((cfg.n_in, 160, 160, cfg.n_out))
+    icnf = cnf.ICNF(config=cfg, net=net)
+    params = icnf.init(jax.random.PRNGKey(0))
+    b = 16
+    u0 = jax.random.normal(jax.random.PRNGKey(1), (b, cfg.state_dim)) * 0.3
+    eps = jax.random.normal(jax.random.PRNGKey(2), (1, b, cfg.nz))
+
+    f_aug = make_augmented_dynamics(cfg, net, Mode.TRAIN)
+
+    def go_xla(u0_, eps_, params_):
+        args = {"params": params_, "eps": eps_, "ys": None}
+        u1, _ = odeint_diff(f_aug, u0_, 0.0, 1.0, args, cfg.solver)
+        return u1
+
+    def go_fused(u0_, eps_, params_):
+        return fused_solve_rk4(u0_, eps_[0], None, params_, (0.0, 1.0),
+                               cfg.nz, cfg.nz, 4, 8)
+
+    u1_x = jax.jit(go_xla)(u0, eps, params)
+    u1_f = jax.jit(go_fused)(u0, eps, params)
+    np.testing.assert_allclose(np.asarray(u1_f), np.asarray(u1_x),
+                               rtol=5e-4, atol=5e-5)
+
+    def loss(run):
+        return lambda p: jnp.sum(jnp.square(run(u0, eps, p)))
+
+    g_x = jax.jit(jax.grad(loss(go_xla)))(params)
+    g_f = jax.jit(jax.grad(loss(go_fused)))(params)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_x), jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_applicability_gate():
     icnf = make()
     # CPU backend -> not applicable (kernel used only on TPU)

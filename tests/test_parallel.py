@@ -138,6 +138,17 @@ def test_tensor_parallel_train_step_matches():
     assert "model" in str(p_sh[0]["w"].sharding.spec)
 
 
+def test_host_local_batch_single_process():
+    from continuousnormalizingflows_tpu.parallel import host_local_batch
+
+    mesh = make_mesh()
+    x = jnp.arange(64, dtype=jnp.float32).reshape(32, 2)
+    gx = host_local_batch(mesh, x)
+    assert gx.shape == (32, 2)
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(x))
+    assert "data" in str(gx.sharding.spec)
+
+
 def test_estimator_with_mesh():
     """ICNFModel(mesh=...) trains end-to-end on the sharded path."""
     icnf = cnf.ICNF.create(nvariables=1, solver=FAST)

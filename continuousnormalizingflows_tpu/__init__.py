@@ -19,7 +19,7 @@ Quick start::
 """
 
 from .config import ICNFConfig, Mode, ProbeDist, SolverConfig, TraceEstimator
-from .core import base_logpdf, generate, inference, log_prob, loss
+from .core import base_logpdf, generate, inference, log_prob, loss, trajectory
 from .dist import CondICNFDist, ICNFDist
 from .models.icnf import ICNF, default_net
 from .models.nets import MLP, CondLayer, DynamicsNet, Planar, from_flax, planar_h
@@ -45,6 +45,7 @@ __all__ = [
     "generate",
     "loss",
     "log_prob",
+    "trajectory",
     "base_logpdf",
     "ICNFModel",
     "CondICNFModel",

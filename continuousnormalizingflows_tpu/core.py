@@ -28,6 +28,7 @@ Semantics matched to the reference:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Optional, Tuple
 
@@ -48,6 +49,7 @@ __all__ = [
     "generate",
     "loss",
     "log_prob",
+    "trajectory",
 ]
 
 Pytree = Any
@@ -271,3 +273,48 @@ def log_prob(
     """Convenience: just ``logp̂x`` — the reference's functor call
     (base_icnf.jl:509-523)."""
     return inference(icnf, mode, xs, params, key, ys)[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _trajectory_impl(icnf: ICNF, xs, params, ts, ys):
+    from .ops.ode import eval_dense, odeint_dopri5_dense
+
+    cfg = icnf.config
+    batch = xs.shape[0]
+    pad = jnp.zeros((batch, cfg.n_aug_input + 3), cfg.dtype)
+    u0 = jnp.concatenate([xs, pad], axis=-1)
+    f_aug = make_augmented_dynamics(cfg, icnf.net, Mode.TEST)
+    args = {"params": params, "eps": None, "ys": ys}
+    t0, t1 = cfg.tspan
+    solver = cfg.solver
+    if solver.method not in ("dopri5", "tsit5"):
+        solver = dataclasses.replace(solver, method="dopri5", gradient="adjoint")
+    _u1, nfe, dense = odeint_dopri5_dense(f_aug, u0, t0, t1, args, solver)
+    path = jax.vmap(lambda t: eval_dense(dense, t))(ts)  # (T, batch, state)
+    return path[..., : cfg.nz], nfe
+
+
+def trajectory(
+    icnf: ICNF,
+    xs: jax.Array,
+    params: Pytree,
+    ts,
+    ys: Optional[jax.Array] = None,
+):
+    """Flow trajectory ``z(t)`` at arbitrary times — dense-output analogue of
+    the SciML solution object's interpolation (the reference solves with
+    ``save_everystep = false`` for training, base_icnf.jl:134-140, but SciML
+    users read dense trajectories off ``solve``; this is that capability).
+
+    Deterministic exact-trace (TestMode) dynamics; ``ts`` may be any times in
+    ``tspan`` (clamped).  Returns ``(path, nfe)`` with ``path`` of shape
+    ``(len(ts), batch, nz)``.
+    """
+    cfg = icnf.config
+    xs = jnp.asarray(xs, cfg.dtype)
+    xs, _single = _as_batch(xs)
+    if ys is not None:
+        ys = jnp.asarray(ys, cfg.dtype)
+        ys, _ = _as_batch(ys)
+    ts = jnp.asarray(ts, cfg.dtype)
+    return _trajectory_impl(icnf, xs, params, ts, ys)

@@ -124,6 +124,35 @@ def test_quadrature_gradient_full_model():
         assert jnp.max(jnp.abs(a - b)) < 2e-3, (a, b)
 
 
+def test_trajectory_dense_path():
+    """cnf.trajectory: z(t) at arbitrary times via the dense interpolant —
+    endpoints must match the direct solve; path must be continuous."""
+    icnf = make(nvariables=2, solver=SolverConfig(rtol=1e-5, atol=1e-5))
+    params = icnf.init(jax.random.PRNGKey(0))
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (6, 2))
+    ts = jnp.linspace(0.0, 1.0, 9)
+
+    path, nfe = cnf.trajectory(icnf, x, params, ts)
+    assert path.shape == (9, 6, icnf.config.nz)
+    assert int(nfe) > 6
+    # t=0 snapshot is the (augmented-padded) input
+    np.testing.assert_allclose(
+        np.asarray(path[0, :, :2]), np.asarray(x), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(path[0, :, 2:]), 0.0, atol=1e-6
+    )
+    # the flow map is deterministic: the t=1 snapshot must be consistent
+    # with an independent trajectory call evaluated only at t=1
+    path2, _ = cnf.trajectory(icnf, x, params, jnp.array([1.0]))
+    np.testing.assert_allclose(
+        np.asarray(path[-1]), np.asarray(path2[0]), rtol=1e-5, atol=1e-5
+    )
+    # continuity: adjacent snapshots differ boundedly
+    deltas = np.asarray(jnp.max(jnp.abs(path[1:] - path[:-1])))
+    assert deltas.max() < 5.0
+
+
 def test_vector_mode_single_sample():
     """A 1-D input behaves as the reference's VectorMode: scalar outputs."""
     icnf = make(nvariables=2)

@@ -92,5 +92,16 @@ try:
     ax.legend()
     fig.savefig(os.path.join(os.path.dirname(__file__), "result-figure.png"), dpi=120)
     print("wrote result-figure.png")
+
+    # flow paths x -> z over integration time (dense-output interpolation)
+    ts = jnp.linspace(0.0, 1.0, 33)
+    path, _nfe = cnf.trajectory(icnf, r[::8], params, ts)  # (T, b, nz)
+    fig2, ax2 = plt.subplots()
+    ax2.set_title("Flow trajectories z(t)")
+    ax2.set_xlabel("t")
+    for i in range(path.shape[1]):
+        ax2.plot(np.asarray(ts), np.asarray(path[:, i, 0]), lw=0.8)
+    fig2.savefig(os.path.join(os.path.dirname(__file__), "trajectories.png"), dpi=120)
+    print("wrote trajectories.png")
 except ImportError:
     print("matplotlib not available; skipping plot")

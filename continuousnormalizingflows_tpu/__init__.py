@@ -14,12 +14,14 @@ Quick start::
 
     icnf = cnf.ICNF.create(nvariables=2)
     params = icnf.init(jax.random.PRNGKey(0))
-    lp, (E, n, A), nfe = cnf.inference(icnf, cnf.Mode.TRAIN, x, params,
-                                       key=jax.random.PRNGKey(1))
+    lp, (E, n, A), stats = cnf.inference(icnf, cnf.Mode.TRAIN, x, params,
+                                         key=jax.random.PRNGKey(1))
+    # stats: SolverStats(nfe, naccept, nreject, dt_final); int(stats) == NFE
 """
 
 from .config import ICNFConfig, Mode, ProbeDist, SolverConfig, TraceEstimator
-from .core import base_logpdf, generate, inference, log_prob, loss, trajectory
+from .core import (base_logpdf, generate, inference, log_prob, loss,
+                   loss_with_stats, trajectory)
 from .dist import CondICNFDist, ICNFDist
 from .models.icnf import ICNF, default_net
 from .models.nets import MLP, CondLayer, DynamicsNet, Planar, from_flax, planar_h
@@ -42,6 +44,7 @@ __all__ = [
     "from_flax",
     "planar_h",
     "inference",
+    "loss_with_stats",
     "generate",
     "loss",
     "log_prob",

@@ -96,7 +96,10 @@ class SolverConfig:
     backprop with static shapes and rematerialization.
     """
 
-    method: str = "dopri5"  # "dopri5" | "tsit5" (adaptive) | "rk4" | "euler"
+    # "dopri5" | "tsit5" (adaptive embedded RK) | "abm" (variable-step
+    # Adams-Bashforth-Moulton PECE, the reference's VCABM solver class at
+    # ~2 f-evals/step) | "rk4" | "euler" (fixed-step scan)
+    method: str = "dopri5"
     rtol: float = 1.0e-4
     atol: float = 1.0e-4
     max_steps: int = 16_384  # adaptive-path bound (reference uses typemax(Int))
@@ -111,8 +114,11 @@ class SolverConfig:
     gradient: str = "adjoint"
     remat: bool = True  # checkpoint each scan step in backprop mode
     dt0: float = 0.01  # initial trial step (fraction handled by controller)
-    # node-buffer capacity for the dense forward interpolant ("quadrature");
-    # each node stores (y, f) — at rtol 1e-4 CNF solves accept ~4-40 steps
+    # node-buffer capacity for the dense forward interpolant ("quadrature"
+    # gradients and trajectory()); each node stores (y, f).  Sizing rule:
+    # must be >= accepted steps + 1.  At rtol 1e-4 CNF solves accept ~4-40
+    # steps; raise this for stiff/long flows.  Overflow is NaN-poisoned
+    # (loud), never silently degraded — see ops.ode.odeint_dopri5_dense.
     dense_max_nodes: int = 128
     # Exclude the parameter-quadrature states from the backward (adjoint)
     # error norm — the seminorm trick ("Hey, that's not an ODE", PAPERS.md);
@@ -124,7 +130,7 @@ class SolverConfig:
     min_factor: float = 0.2
 
     def __post_init__(self) -> None:
-        adaptive = ("dopri5", "tsit5")
+        adaptive = ("dopri5", "tsit5", "abm")
         if self.method not in adaptive + ("rk4", "euler"):
             raise ValueError(f"unknown ODE method {self.method!r}")
         if self.gradient not in ("adjoint", "quadrature", "backprop"):
@@ -134,11 +140,11 @@ class SolverConfig:
                 "backprop gradients require a fixed-step method (rk4/euler); "
                 "use gradient='adjoint' with an adaptive method"
             )
-        if self.gradient == "quadrature" and self.method not in adaptive:
+        if self.gradient == "quadrature" and self.method not in ("dopri5", "tsit5"):
             raise ValueError(
                 "the interpolation (quadrature) adjoint needs an adaptive "
                 "dense-output solver (dopri5/tsit5); fixed-step methods "
-                "support gradient='backprop'"
+                "support gradient='backprop', abm supports gradient='adjoint'"
             )
 
 

@@ -39,6 +39,7 @@ from .config import ICNFConfig, Mode, ProbeDist
 from .models.icnf import ICNF
 from .ops.adjoint import odeint_diff
 from .ops.dynamics import make_augmented_dynamics
+from .ops.ode import SolverStats
 
 __all__ = [
     "base_logpdf",
@@ -48,6 +49,7 @@ __all__ = [
     "inference",
     "generate",
     "loss",
+    "loss_with_stats",
     "log_prob",
     "trajectory",
 ]
@@ -97,10 +99,15 @@ def _solve(
 ) -> Tuple[jax.Array, jax.Array]:
     cfg = icnf.config
     if eps is not None:
-        from .ops.pallas_solve import fused_solve_applicable, fused_solve_rk4
-        from .ops.pallas_solve import _tile_for as _fs_tile
+        from .ops.pallas_solve import (
+            fused_solve_applicable,
+            fused_solve_rk4,
+            fused_solve_tile,
+        )
 
-        if fused_solve_applicable(cfg, icnf.net, mode) and _fs_tile(u0.shape[0], 256):
+        if fused_solve_applicable(cfg, icnf.net, mode) and fused_solve_tile(
+            u0.shape[0], icnf.net.widths[1]
+        ):
             t_col = cfg.nz if not cfg.autonomous else None
             cdt = (
                 jnp.bfloat16
@@ -111,7 +118,14 @@ def _solve(
                 u0, eps[0], ys, params, (t0, t1), cfg.nz, t_col,
                 cfg.solver.fixed_steps, 256, cdt,
             )
-            return u1, jnp.int32(4 * cfg.solver.fixed_steps)
+            steps = cfg.solver.fixed_steps
+            stats = SolverStats(
+                jnp.int32(4 * steps),
+                jnp.int32(steps),
+                jnp.int32(0),
+                (jnp.asarray(t1, cfg.dtype) - jnp.asarray(t0, cfg.dtype)) / steps,
+            )
+            return u1, stats
     f_aug = make_augmented_dynamics(cfg, icnf.net, mode)
     if cfg.layout == "feature_first":
         # batch moves to the lane (minor-most) dimension for the whole solve;
@@ -149,9 +163,9 @@ def _inference_impl(icnf: ICNF, mode: Mode, xs, params, key, ys):
     # dispatches on TrainMode{true}, base_icnf.jl:23-39)
     t1 = steer_t1(cfg, k_steer) if (mode.regularized and cfg.steered) else t1
 
-    u1, nfe = _solve(icnf, mode, u0, t0, t1, params, eps, ys)
+    u1, stats = _solve(icnf, mode, u0, t0, t1, params, eps, ys)
     logpx, augs = _split_terminal(cfg, mode, u1)
-    return logpx, augs, nfe
+    return logpx, augs, stats
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
@@ -203,9 +217,10 @@ def inference(
 
     ``xs``: ``(batch, nvariables)`` or a single ``(nvariables,)`` sample (the
     reference's VectorMode — handled here by a transparent batch-of-1).
-    The extra ``nfe`` output (number of dynamics evaluations) has no reference
-    counterpart in the return value; it surfaces the solver stats the SciML
-    stack keeps in ``sol.stats`` (SURVEY.md §5).
+    The extra third output is a :class:`~continuousnormalizingflows_tpu.ops.ode.SolverStats`
+    (NFE, accepted/rejected step counts, final dt) — the solver observability
+    the reference gets from SciML ``sol.stats`` / ``verbose`` (icnf.jl:100-101,
+    SURVEY.md §5); ``int(stats)`` is the NFE.
     """
     cfg = icnf.config
     xs = jnp.asarray(xs, cfg.dtype)
@@ -218,11 +233,11 @@ def inference(
             raise ValueError("train mode needs a PRNG key (probe + steer sampling)")
         key = jax.random.PRNGKey(0)
 
-    logpx, augs, nfe = _inference_impl(icnf, mode, xs, params, key, ys)
+    logpx, augs, stats = _inference_impl(icnf, mode, xs, params, key, ys)
     if single:
         logpx = logpx[0]
         augs = tuple(a[0] for a in augs)
-    return logpx, augs, nfe
+    return logpx, augs, stats
 
 
 def generate(
@@ -252,14 +267,29 @@ def loss(
 ) -> jax.Array:
     """Regularized negative log-likelihood
     ``mean(-logp̂x + λ1*E + λ2*n + λ3*A)`` (icnf.jl:605-649)."""
+    return loss_with_stats(icnf, mode, xs, params, key, ys)[0]
+
+
+def loss_with_stats(
+    icnf: ICNF,
+    mode: Mode,
+    xs: jax.Array,
+    params: Pytree,
+    key: Optional[jax.Array] = None,
+    ys: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, "SolverStats"]:
+    """``(loss, solver stats)`` — the stats ride along as an aux output so the
+    training loop can surface NFE / rejected steps / final dt per step
+    (reference solver verbosity, icnf.jl:100-101)."""
     cfg = icnf.config
-    logpx, (e_acc, n_acc, a_term), _nfe = inference(icnf, mode, xs, params, key, ys)
-    return jnp.mean(
+    logpx, (e_acc, n_acc, a_term), stats = inference(icnf, mode, xs, params, key, ys)
+    l = jnp.mean(
         -logpx
         + cfg.lambda_1 * e_acc
         + cfg.lambda_2 * n_acc
         + cfg.lambda_3 * a_term
     )
+    return l, stats
 
 
 def log_prob(
@@ -283,15 +313,20 @@ def _trajectory_impl(icnf: ICNF, xs, params, ts, ys):
     batch = xs.shape[0]
     pad = jnp.zeros((batch, cfg.n_aug_input + 3), cfg.dtype)
     u0 = jnp.concatenate([xs, pad], axis=-1)
+    # trajectory() always builds batch-first state, so force the batch-first
+    # dynamics regardless of cfg.layout (the feature-first twin expects
+    # (state_dim, batch) and would mis-broadcast here).
+    if cfg.layout != "batch_first":
+        cfg = dataclasses.replace(cfg, layout="batch_first")
     f_aug = make_augmented_dynamics(cfg, icnf.net, Mode.TEST)
     args = {"params": params, "eps": None, "ys": ys}
     t0, t1 = cfg.tspan
     solver = cfg.solver
     if solver.method not in ("dopri5", "tsit5"):
         solver = dataclasses.replace(solver, method="dopri5", gradient="adjoint")
-    _u1, nfe, dense = odeint_dopri5_dense(f_aug, u0, t0, t1, args, solver)
+    _u1, stats, dense = odeint_dopri5_dense(f_aug, u0, t0, t1, args, solver)
     path = jax.vmap(lambda t: eval_dense(dense, t))(ts)  # (T, batch, state)
-    return path[..., : cfg.nz], nfe
+    return path[..., : cfg.nz], stats
 
 
 def trajectory(

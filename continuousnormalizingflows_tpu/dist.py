@@ -14,6 +14,7 @@ scalar, a ``(n, d)`` batch returns ``(n,)``.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Optional
 
 import jax
@@ -27,9 +28,43 @@ __all__ = ["ICNFDist", "CondICNFDist"]
 
 Pytree = Any
 
+_warned_transpose = False
+
+
+def _shim_layout(x: jax.Array, nvariables: int) -> jax.Array:
+    """One-shot-warn layout shim — the analogue of the reference's
+    cross-mode reshape warnings (``@warn maxlog=1``,
+    dist_ext/core_icnf.jl:22-41): a ``(nvariables, n)`` features-first batch
+    (the reference's native Julia layout) is transposed to the batch-first
+    convention here, with a warning the first time."""
+    global _warned_transpose
+    if (
+        x.ndim == 2
+        and x.shape[1] != nvariables
+        and x.shape[0] == nvariables
+    ):
+        if not _warned_transpose:
+            warnings.warn(
+                f"input looks features-first {x.shape}; transposing to the "
+                f"batch-first (n, {nvariables}) convention (warned once)",
+                stacklevel=3,
+            )
+            _warned_transpose = True
+        return x.T
+    return x
+
 
 class ICNFDist:
-    """Unconditional flow distribution (reference ``ICNFDist``)."""
+    """Unconditional flow distribution (reference ``ICNFDist``).
+
+    Randomness contract (matches the reference, whose ICNFDist carries the
+    model's hidden ``rng`` field): in ``Mode.TRAIN`` each ``logpdf`` call
+    consumes a fresh Hutchinson probe, so two identical calls return slightly
+    different stochastic estimates.  The probe key advances from ``key``
+    (default ``PRNGKey(0)``) via counter splitting; pass ``key=`` per call to
+    ``logpdf`` for reproducible estimates.  ``Mode.TEST`` (default) is exact
+    and deterministic.
+    """
 
     def __init__(
         self,
@@ -54,15 +89,20 @@ class ICNFDist:
     def _ys_for(self, n: int):
         return None
 
-    def logpdf(self, x: jax.Array) -> jax.Array:
-        key = self._next_key() if self.mode is Mode.TRAIN else None
+    def logpdf(self, x: jax.Array, key: Optional[jax.Array] = None) -> jax.Array:
+        """Log-density.  ``key`` (optional) pins the train-mode probe for a
+        reproducible stochastic estimate; without it the hidden key advances
+        (see class docstring)."""
+        if key is None:
+            key = self._next_key() if self.mode is Mode.TRAIN else None
         x = jnp.asarray(x, self.icnf.config.dtype)
+        x = _shim_layout(x, self.icnf.config.nvariables)
         ys = self._ys_for(x.shape[0] if x.ndim > 1 else 1)
-        logpx, _augs, _nfe = inference(self.icnf, self.mode, x, self.params, key=key, ys=ys)
+        logpx, _augs, _stats = inference(self.icnf, self.mode, x, self.params, key=key, ys=ys)
         return logpx
 
-    def pdf(self, x: jax.Array) -> jax.Array:
-        return jnp.exp(self.logpdf(x))
+    def pdf(self, x: jax.Array, key: Optional[jax.Array] = None) -> jax.Array:
+        return jnp.exp(self.logpdf(x, key=key))
 
     def sample(self, key: jax.Array, n: int) -> jax.Array:
         """(n, nvariables) samples (reference ``_rand!`` = generate)."""

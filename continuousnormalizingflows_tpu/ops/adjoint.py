@@ -44,18 +44,45 @@ def _tree_vdot(a: Pytree, b: Pytree) -> jax.Array:
     return sum(jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b))
 
 
+# args entries that never receive useful cotangents on the continuous-adjoint
+# paths: the Hutchinson probe.  Splitting it out of the differentiable args
+# keeps probe-sized (P x B x nz) quadrature accumulators out of the backward
+# ODE state — they are as large as the flow state itself and every caller
+# discards the probe cotangent (the trace estimate's derivative w.r.t. its
+# own probe is statistically meaningless for training).  Conditions ("ys")
+# stay differentiable: their quadrature is (B x ncond)-small and condition
+# gradients are legitimately consumed (e.g. conditional sampling guidance).
+_NONDIFF_ARG_KEYS = ("eps",)
+
+
+def _split_args(args: Pytree) -> Tuple[Pytree, Pytree]:
+    """Partition a dict-style args tree into (differentiable, nondiff)."""
+    if isinstance(args, dict) and any(k in args for k in _NONDIFF_ARG_KEYS):
+        nd = {k: v for k, v in args.items() if k in _NONDIFF_ARG_KEYS}
+        d = {k: v for k, v in args.items() if k not in _NONDIFF_ARG_KEYS}
+        return d, nd
+    return args, None
+
+
+def _merge_args(args_d: Pytree, args_nd: Pytree) -> Pytree:
+    if args_nd is None:
+        return args_d
+    return {**args_d, **args_nd}
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _odeint_adjoint(f, cfg: SolverConfig, y0: Pytree, t0, t1, args: Pytree):
-    return odeint(f, y0, t0, t1, args, cfg)
+def _odeint_adjoint(f, cfg: SolverConfig, y0: Pytree, t0, t1, args_d: Pytree,
+                    args_nd: Pytree):
+    return odeint(f, y0, t0, t1, _merge_args(args_d, args_nd), cfg)
 
 
-def _adjoint_fwd(f, cfg, y0, t0, t1, args):
-    y1, nfe = odeint(f, y0, t0, t1, args, cfg)
-    return (y1, nfe), (y1, t0, t1, args)
+def _adjoint_fwd(f, cfg, y0, t0, t1, args_d, args_nd):
+    y1, nfe = odeint(f, y0, t0, t1, _merge_args(args_d, args_nd), cfg)
+    return (y1, nfe), (y1, t0, t1, args_d, args_nd)
 
 
 def _adjoint_bwd(f, cfg, residuals, cotangents):
-    y1, t0, t1, args = residuals
+    y1, t0, t1, args_d, args_nd = residuals
     g_y1, _g_nfe = cotangents
 
     t0 = jnp.asarray(t0, jnp.result_type(float, t0))
@@ -63,30 +90,39 @@ def _adjoint_bwd(f, cfg, residuals, cotangents):
 
     def aug_dyn(t, state, aug_args):
         y, a, _q = state
-        dy, vjp_fn = jax.vjp(lambda y_, args_: f(t, y_, args_), y, aug_args)
+        # VJP w.r.t. the differentiable args only — nondiff args (the probe)
+        # are closed over, so the backward state carries no probe-sized
+        # quadrature accumulators.
+        dy, vjp_fn = jax.vjp(
+            lambda y_, ad_: f(t, y_, _merge_args(ad_, args_nd)), y, aug_args
+        )
         a_y, a_args = vjp_fn(a)
         neg = lambda x: -x
         return (dy, jax.tree_util.tree_map(neg, a_y), jax.tree_util.tree_map(neg, a_args))
 
-    q0 = jax.tree_util.tree_map(jnp.zeros_like, args)
+    q0 = jax.tree_util.tree_map(jnp.zeros_like, args_d)
     state1 = (y1, g_y1, q0)
     # Seminorm (PAPERS.md, Kidger et al. 2021): the parameter-quadrature
     # block q is excluded from the backward error norm when enabled — q never
     # feeds back into the dynamics, so error-controlling it only forces
     # pointlessly small steps.
     error_weight = None
-    if cfg.adjoint_seminorm and cfg.method in ("dopri5", "tsit5"):
+    if cfg.adjoint_seminorm and cfg.method in ("dopri5", "tsit5", "abm"):
         error_weight = (
             jax.tree_util.tree_map(lambda _: True, y1),
             jax.tree_util.tree_map(lambda _: True, g_y1),
             jax.tree_util.tree_map(lambda _: False, q0),
         )
-    (y0_rec, a0, q), _nfe_b = odeint(aug_dyn, state1, t1, t0, args, cfg, error_weight)
+    (y0_rec, a0, q), _nfe_b = odeint(aug_dyn, state1, t1, t0, args_d, cfg, error_weight)
 
+    full_args = _merge_args(args_d, args_nd)
     # dL/dt1 = <g, f(t1, y1)> ; dL/dt0 = -<a(t0), f(t0, y0)>
-    t1_bar = _tree_vdot(g_y1, f(t1, y1, args)).real.astype(t1.dtype)
-    t0_bar = (-_tree_vdot(a0, f(t0, y0_rec, args))).real.astype(t0.dtype)
-    return (a0, t0_bar, t1_bar, q)
+    t1_bar = _tree_vdot(g_y1, f(t1, y1, full_args)).real.astype(t1.dtype)
+    t0_bar = (-_tree_vdot(a0, f(t0, y0_rec, full_args))).real.astype(t0.dtype)
+    nd_bar = (
+        None if args_nd is None else jax.tree_util.tree_map(jnp.zeros_like, args_nd)
+    )
+    return (a0, t0_bar, t1_bar, q, nd_bar)
 
 
 _odeint_adjoint.defvjp(_adjoint_fwd, _adjoint_bwd)
@@ -98,14 +134,18 @@ _odeint_adjoint.defvjp(_adjoint_fwd, _adjoint_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _odeint_quadrature(f, cfg: SolverConfig, y0, t0, t1, args):
-    y1, nfe, _dense = odeint_dopri5_dense(f, y0, t0, t1, args, cfg)
+def _odeint_quadrature(f, cfg: SolverConfig, y0, t0, t1, args_d, args_nd):
+    y1, nfe, _dense = odeint_dopri5_dense(
+        f, y0, t0, t1, _merge_args(args_d, args_nd), cfg
+    )
     return y1, nfe
 
 
-def _quadrature_fwd(f, cfg, y0, t0, t1, args):
-    y1, nfe, dense = odeint_dopri5_dense(f, y0, t0, t1, args, cfg)
-    return (y1, nfe), (y1, dense, t0, t1, args)
+def _quadrature_fwd(f, cfg, y0, t0, t1, args_d, args_nd):
+    y1, nfe, dense = odeint_dopri5_dense(
+        f, y0, t0, t1, _merge_args(args_d, args_nd), cfg
+    )
+    return (y1, nfe), (y1, dense, t0, t1, args_d, args_nd)
 
 
 def _quadrature_bwd(f, cfg, residuals, cotangents):
@@ -119,7 +159,7 @@ def _quadrature_bwd(f, cfg, residuals, cotangents):
 
         d/dt (a, q) = (-a^T ∂f/∂y|_{y(t)}, -a^T ∂f/∂θ|_{y(t)})
     """
-    y1, dense, t0, t1, args = residuals
+    y1, dense, t0, t1, args_d, args_nd = residuals
     g_y1, _g_nfe = cotangents
 
     t0 = jnp.asarray(t0, jnp.result_type(float, t0))
@@ -128,7 +168,9 @@ def _quadrature_bwd(f, cfg, residuals, cotangents):
     def adj_dyn(t, state, aug_args):
         a, _q = state
         y = eval_dense(dense, t)
-        _dy, vjp_fn = jax.vjp(lambda y_, args_: f(t, y_, args_), y, aug_args)
+        _dy, vjp_fn = jax.vjp(
+            lambda y_, ad_: f(t, y_, _merge_args(ad_, args_nd)), y, aug_args
+        )
         a_y, a_args = vjp_fn(a)
         neg = lambda x: -x
         return (
@@ -136,7 +178,7 @@ def _quadrature_bwd(f, cfg, residuals, cotangents):
             jax.tree_util.tree_map(neg, a_args),
         )
 
-    q0 = jax.tree_util.tree_map(jnp.zeros_like, args)
+    q0 = jax.tree_util.tree_map(jnp.zeros_like, args_d)
     state1 = (g_y1, q0)
     error_weight = None
     if cfg.adjoint_seminorm:
@@ -144,12 +186,16 @@ def _quadrature_bwd(f, cfg, residuals, cotangents):
             jax.tree_util.tree_map(lambda _: True, g_y1),
             jax.tree_util.tree_map(lambda _: False, q0),
         )
-    (a0, q), _nfe_b = odeint(adj_dyn, state1, t1, t0, args, cfg, error_weight)
+    (a0, q), _nfe_b = odeint(adj_dyn, state1, t1, t0, args_d, cfg, error_weight)
 
+    full_args = _merge_args(args_d, args_nd)
     y0_rec = eval_dense(dense, t0)
-    t1_bar = _tree_vdot(g_y1, f(t1, y1, args)).real.astype(t1.dtype)
-    t0_bar = (-_tree_vdot(a0, f(t0, y0_rec, args))).real.astype(t0.dtype)
-    return (a0, t0_bar, t1_bar, q)
+    t1_bar = _tree_vdot(g_y1, f(t1, y1, full_args)).real.astype(t1.dtype)
+    t0_bar = (-_tree_vdot(a0, f(t0, y0_rec, full_args))).real.astype(t0.dtype)
+    nd_bar = (
+        None if args_nd is None else jax.tree_util.tree_map(jnp.zeros_like, args_nd)
+    )
+    return (a0, t0_bar, t1_bar, q, nd_bar)
 
 
 _odeint_quadrature.defvjp(_quadrature_fwd, _quadrature_bwd)
@@ -170,9 +216,17 @@ def odeint_diff(
     ``quadrature`` (interpolation adjoint — the closest analogue of the
     reference's ``QuadratureAdjoint``, icnf.jl:90-99) requires ``dopri5``;
     ``adjoint`` (backsolve) works with any method and is the default.
+
+    On the two continuous-adjoint paths, a dict-style ``args`` containing an
+    ``"eps"`` entry (the Hutchinson probe) gets a *structural-zero* probe
+    cotangent: the backward ODE carries quadrature states only for the
+    remaining args (params, conditions), which keeps probe-sized accumulators
+    out of the backward state.  Use ``backprop`` if you genuinely need
+    d/d(probe).
     """
     if cfg.gradient == "backprop":
         return odeint(f, y0, t0, t1, args, cfg)
+    args_d, args_nd = _split_args(args)
     if cfg.gradient == "quadrature":
-        return _odeint_quadrature(f, cfg, y0, t0, t1, args)
-    return _odeint_adjoint(f, cfg, y0, t0, t1, args)
+        return _odeint_quadrature(f, cfg, y0, t0, t1, args_d, args_nd)
+    return _odeint_adjoint(f, cfg, y0, t0, t1, args_d, args_nd)

@@ -30,12 +30,86 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ICNFConfig, Mode, TraceEstimator
+from ..models.nets import MLP as _MLP
 from ..models.nets import DynamicsNet
 from ..models.nets import Planar as _Planar
 
 __all__ = ["make_augmented_dynamics", "make_field"]
 
 Pytree = Any
+
+
+def _act_and_deriv(act, z):
+    """Elementwise activation value and derivative in one pass (exact for any
+    elementwise activation via jvp with a ones tangent)."""
+    if act is jax.nn.softplus:
+        return jax.nn.softplus(z), jax.nn.sigmoid(z)  # d softplus = sigmoid
+    h, dh = jax.jvp(act, (z,), (jnp.ones_like(z),))
+    return h, dh
+
+
+def _mlp_exact_trace(net: _MLP, params, x_full: jax.Array, nz: int,
+                     feature_first: bool = False):
+    """Analytic ``(dz, tr(J_z))`` for 1- and 2-hidden-layer MLP dynamics.
+
+    The reference computes the exact TestMode trace with O(d) AD sweeps per
+    step (per-sample Jacobian stacks, reference ``src/core/utils.jl:12-88``) —
+    the dominant inference cost at tabular/image dimension (SURVEY.md §7
+    "hard parts").  For an MLP ``y = W3 act(W2 act(W1 x))`` the z-block
+    Jacobian is ``J = W1ᵀ[:nz] D1 W2 D2 W3[:, :nz]`` with diagonal
+    ``D_i = diag(act'(z_i))``, so
+
+        tr(J) = Σ_{k,l} s1[k] G[k,l] s2[l],   G = W2 ∘ (W1[:nz,:]ᵀ W3[:,:nz]ᵀ)
+
+    i.e. one batch-independent Hadamard-masked matmul (``G``) plus ONE extra
+    ``(B, h1) x (h1, h2)`` matmul per dynamics eval — O(1) in ``nz`` instead
+    of O(nz) sweeps.  Exact (not an estimate): matches ``jacfwd`` to float
+    precision.  Single-hidden-layer nets use the degenerate form
+    ``tr(J) = s1 . g`` with ``g[k] = Σ_i W1[i,k] W2[k,i]``.
+    """
+    prec = getattr(net, "precision", "highest")
+    if feature_first:
+        # x_full: (n_in, batch); same math with transposed chains
+        if len(params) == 2:
+            (l1, l2) = params
+            z1 = jnp.matmul(l1["w"].T, x_full, precision=prec) + l1["b"][:, None]
+            h1, s1 = _act_and_deriv(net.activation, z1)
+            dz = jnp.matmul(l2["w"].T, h1, precision=prec) + l2["b"][:, None]
+            g = jnp.sum(l1["w"][:nz, :] * l2["w"][:, :nz].T, axis=0)  # (h,)
+            div = jnp.einsum("k,kb->b", g, s1)
+            return dz, div
+        (l1, l2, l3) = params
+        z1 = jnp.matmul(l1["w"].T, x_full, precision=prec) + l1["b"][:, None]
+        h1, s1 = _act_and_deriv(net.activation, z1)
+        z2 = jnp.matmul(l2["w"].T, h1, precision=prec) + l2["b"][:, None]
+        h2, s2 = _act_and_deriv(net.activation, z2)
+        dz = jnp.matmul(l3["w"].T, h2, precision=prec) + l3["b"][:, None]
+        m = jnp.matmul(l1["w"][:nz, :].T, l3["w"][:, :nz].T, precision=prec)
+        g_mat = l2["w"] * m  # (h1, h2)
+        div = jnp.sum(jnp.matmul(g_mat.T, s1, precision=prec) * s2, axis=0)
+        return dz, div
+    if len(params) == 2:
+        (l1, l2) = params
+        z1 = jnp.matmul(x_full, l1["w"], precision=prec) + l1["b"]
+        h1, s1 = _act_and_deriv(net.activation, z1)
+        dz = jnp.matmul(h1, l2["w"], precision=prec) + l2["b"]
+        g = jnp.sum(l1["w"][:nz, :] * l2["w"][:, :nz].T, axis=0)  # (h,)
+        div = jnp.einsum("bk,k->b", s1, g)
+        return dz, div
+    (l1, l2, l3) = params
+    z1 = jnp.matmul(x_full, l1["w"], precision=prec) + l1["b"]
+    h1, s1 = _act_and_deriv(net.activation, z1)
+    z2 = jnp.matmul(h1, l2["w"], precision=prec) + l2["b"]
+    h2, s2 = _act_and_deriv(net.activation, z2)
+    dz = jnp.matmul(h2, l3["w"], precision=prec) + l3["b"]
+    m = jnp.matmul(l1["w"][:nz, :].T, l3["w"][:, :nz].T, precision=prec)  # (h1, h2)
+    g_mat = l2["w"] * m
+    div = jnp.sum(jnp.matmul(s1, g_mat, precision=prec) * s2, axis=-1)
+    return dz, div
+
+
+def _mlp_exact_applicable(net, nparams_expected_only=False) -> bool:
+    return isinstance(net, _MLP) and len(net.widths) in (3, 4)
 
 
 def make_field(
@@ -141,6 +215,19 @@ def _make_augmented_dynamics_t(
                 )
             else:
                 reg_j = jnp.zeros((batch,), u.dtype)
+        elif (
+            estimator is TraceEstimator.EXACT
+            and _mlp_exact_applicable(net)
+            and not compute_reg_j
+        ):
+            rows = [z]
+            if not cfg.autonomous:
+                rows.append(jnp.full((1, batch), t, z.dtype))
+            if cfg.conditioned:
+                rows.append(jnp.broadcast_to(ys, (ys.shape[0], batch)).astype(z.dtype))
+            x_full = jnp.concatenate(rows, axis=0)
+            dz, div = _mlp_exact_trace(net, params, x_full, nz, feature_first=True)
+            reg_j = jnp.zeros((batch,), u.dtype)
         elif estimator is TraceEstimator.EXACT:
             dz, lin = jax.linearize(g, z)
             basis = jnp.eye(nz, dtype=z.dtype)
@@ -297,6 +384,31 @@ def make_augmented_dynamics(
                 )
             else:
                 reg_j = jnp.zeros((batch,), u.dtype)
+        elif (
+            estimator is TraceEstimator.EXACT
+            and _mlp_exact_applicable(net)
+            and not compute_reg_j
+        ):
+            # Analytic exact trace for shallow-MLP dynamics (the reference
+            # default architecture, icnf.jl:67-71): one extra matmul instead
+            # of nz linearize sweeps — see _mlp_exact_trace.  (The Frobenius
+            # regularizer has no O(1) closed form, so reg_j configs fall
+            # through to the sweep below.)
+            cols = [z]
+            if not cfg.autonomous:
+                cols.append(
+                    jnp.broadcast_to(
+                        jnp.asarray(t, z.dtype).reshape((1,) * z.ndim),
+                        z.shape[:-1] + (1,),
+                    )
+                )
+            if cfg.conditioned:
+                cols.append(
+                    jnp.broadcast_to(ys, z.shape[:-1] + (ys.shape[-1],)).astype(z.dtype)
+                )
+            x_full = jnp.concatenate(cols, axis=-1)
+            dz, div = _mlp_exact_trace(net, params, x_full, nz)
+            reg_j = jnp.zeros((batch,), u.dtype)
         elif estimator is TraceEstimator.EXACT:
             # Exact trace via nz forward sweeps of the batched linearization —
             # each sweep is one full-batch matmul chain, so the MXU stays busy

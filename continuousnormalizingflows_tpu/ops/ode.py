@@ -17,12 +17,14 @@ TPU-native design uses:
   (``jax.checkpoint``) to trade FLOPs for HBM.
 
 All integrators share the signature ``odeint(f, y0, t0, t1, args, cfg)`` with
-``f(t, y, args) -> dy`` over pytrees and return ``(y1, nfe)`` — only the final
+``f(t, y, args) -> dy`` over pytrees and return ``(y1, stats)`` with
+``stats`` a :class:`SolverStats` — only the final
 state is kept (reference ``save_everystep = false``, ``base_icnf.jl:134-140``).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
@@ -35,13 +37,35 @@ __all__ = [
     "odeint",
     "odeint_fixed",
     "odeint_dopri5",
+    "odeint_abm",
     "odeint_dopri5_dense",
     "DenseSolution",
+    "SolverStats",
     "eval_dense",
 ]
 
 Pytree = Any
 ODEFunc = Callable[[jax.Array, Pytree, Pytree], Pytree]
+
+
+class SolverStats(NamedTuple):
+    """Per-solve diagnostics — the analogue of the solver observability the
+    reference gets from SciML (``sol.stats``, ``verbose =
+    SciMLLogging.Detailed()``, reference ``src/core/icnf.jl:100-101``): enough
+    to debug a stalling adaptive solve (many rejections / tiny final dt)
+    without host round-trips.
+
+    ``int(stats)`` returns the NFE for drop-in use where a bare eval count is
+    expected.  Fixed-step methods report ``naccept = steps, nreject = 0``.
+    """
+
+    nfe: jax.Array  # int32 — dynamics evaluations
+    naccept: jax.Array  # int32 — accepted steps
+    nreject: jax.Array  # int32 — rejected trial steps
+    dt_final: jax.Array  # controller's step size at exit (signed, time dtype)
+
+    def __int__(self) -> int:
+        return int(self.nfe)
 
 # ---------------------------------------------------------------------------
 # pytree helpers
@@ -220,7 +244,7 @@ def odeint_dopri5(
     args: Pytree,
     cfg: SolverConfig,
     error_weight: Pytree = None,
-) -> Tuple[Pytree, jax.Array]:
+) -> Tuple[Pytree, SolverStats]:
     """Adaptive embedded Runge-Kutta under ``lax.while_loop`` — the tableau
     (Dormand-Prince 5(4) or Tsitouras 5(4)) is picked from ``cfg.method``.
     Not reverse-differentiable directly — wrap with the continuous adjoint
@@ -240,11 +264,11 @@ def odeint_dopri5(
     inv_order = 1.0 / tab.order
 
     def cond(state):
-        t, _y, _dt, _k1, nfe, steps, done = state
+        t, _y, _dt, _k1, nfe, steps, nacc, done = state
         return jnp.logical_and(jnp.logical_not(done), steps < cfg.max_steps)
 
     def body(state):
-        t, y, dt, k1, nfe, steps, _done = state
+        t, y, dt, k1, nfe, steps, nacc, _done = state
         remaining = t1 - t
         # clamp the trial step so we can land exactly on t1
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
@@ -267,10 +291,12 @@ def odeint_dopri5(
             lambda a, b: jnp.where(accept, a, b), k7, k1
         )
         done = jnp.logical_and(accept, jnp.abs(t1 - t_new) <= tiny * jnp.maximum(jnp.abs(t1), 1.0))
-        return (t_new, y_new, dt_next, k_new, nfe + n_evals, steps + 1, done)
+        nacc_new = nacc + accept.astype(jnp.int32)
+        return (t_new, y_new, dt_next, k_new, nfe + n_evals, steps + 1, nacc_new, done)
 
-    state0 = (t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.asarray(False))
-    _t, y1, _dt, _k, nfe, _steps, done = lax.while_loop(cond, body, state0)
+    state0 = (t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.int32(0),
+              jnp.asarray(False))
+    _t, y1, dt_f, _k, nfe, steps, nacc, done = lax.while_loop(cond, body, state0)
     # Loud failure on step-budget exhaustion: the reference never truncates
     # (maxiters = typemax, icnf.jl:86) — silently returning the state at
     # max_steps would be a *wrong answer*, so poison it with NaN instead
@@ -278,7 +304,196 @@ def odeint_dopri5(
     y1 = jax.tree_util.tree_map(
         lambda l: jnp.where(done, l, jnp.full_like(l, jnp.nan)), y1
     )
-    return y1, nfe
+    return y1, SolverStats(nfe, nacc, steps - nacc, dt_f)
+
+
+# ---------------------------------------------------------------------------
+# variable-step Adams-Bashforth-Moulton PECE (the reference's solver class)
+# ---------------------------------------------------------------------------
+
+# 3-point Gauss-Legendre on [-1, 1]: exact for polynomials to degree 5, which
+# covers every Lagrange basis polynomial used below (degree <= 3)
+_GL3 = ((-0.7745966692414834, 5 / 9), (0.0, 8 / 9), (0.7745966692414834, 5 / 9))
+
+# Milne error factors |C_AM / (C_AB - C_AM)| for the k-step pair on a uniform
+# grid (k = 1..4), doubled for conservatism: on variable-step grids the
+# uniform-grid constants under-estimate (measured: global error tracked
+# ~20x tol on an oscillator; with the 2x margin it tracks ~5-8x, matching
+# what dopri5-class local error control delivers)
+_MILNE = (1.0, 1 / 3, 0.2, 19 / 135)
+
+_ABM_K = 4  # history length == max order
+
+
+def _lagrange_quad_weights(taus: list, a, b) -> list:
+    """``w_j = ∫_a^b l_j(s) ds`` for the Lagrange basis on nodes ``taus``
+    (python list of traced scalars; static count).  Via GL3 — exact."""
+    mid, half = 0.5 * (a + b), 0.5 * (b - a)
+    ws = []
+    for j, tj in enumerate(taus):
+        acc = 0.0
+        for xi, om in _GL3:
+            s = mid + half * xi
+            lj = 1.0
+            for m, tm in enumerate(taus):
+                if m != j:
+                    lj = lj * (s - tm) / (tj - tm)
+            acc = acc + om * lj
+        ws.append(half * acc)
+    return ws
+
+
+def _abm_weights_branch(k: int, ts_h, t_new):
+    """Padded (pred (K,), corr_new scalar, corr_hist (K,), milne scalar) for a
+    *static* history count ``k``.  Predictor: k history nodes (order k);
+    corrector: the new node + the k-1 (k>1: order k) most recent."""
+    t = ts_h[0]
+    taus = [ts_h[i] for i in range(k)]
+    w_pred = _lagrange_quad_weights(taus, t, t_new)
+    kc = max(k - 1, 1)
+    corr_nodes = [t_new] + taus[:kc]
+    w_corr = _lagrange_quad_weights(corr_nodes, t, t_new)
+
+    pad = lambda ws: jnp.stack(
+        [jnp.asarray(ws[i], jnp.float32) if i < len(ws) else jnp.float32(0.0)
+         for i in range(_ABM_K)]
+    )
+    return (
+        pad(w_pred),
+        jnp.asarray(w_corr[0], jnp.float32),
+        pad(w_corr[1:]),
+        jnp.float32(_MILNE[k - 1]),
+    )
+
+
+def _hist_dot(ws: jax.Array, f_hist: Pytree) -> Pytree:
+    """``Σ_j ws[j] * f_hist[j]`` over the leading history axis."""
+    return jax.tree_util.tree_map(
+        lambda leaf: jnp.tensordot(
+            ws.astype(leaf.dtype), leaf, axes=((0,), (0,))
+        ),
+        f_hist,
+    )
+
+
+def odeint_abm(
+    f: ODEFunc,
+    y0: Pytree,
+    t0: jax.Array,
+    t1: jax.Array,
+    args: Pytree,
+    cfg: SolverConfig,
+    error_weight: Pytree = None,
+) -> Tuple[Pytree, "SolverStats"]:
+    """Variable-step Adams-Bashforth-Moulton PECE, order building 1 → 4.
+
+    The reference's default solver is VCABM — adaptive-order multistep Adams
+    (reference ``src/core/icnf.jl:89``) at ~2 new f-evals per step vs 6 for a
+    dopri5 trial.  A full variable-*order* state machine maps poorly onto XLA
+    (SURVEY.md §7), so this is the fixed-max-order TPU-native middle ground:
+
+    * history = ring of the last 4 ``(t, f)`` pairs (static shapes);
+    * integration weights recomputed each step from the actual node times via
+      Lagrange-basis GL3 quadrature (the variable-coefficient part of VCABM)
+      — a handful of scalar ops, negligible next to one dynamics eval;
+    * PECE: predict (Adams-Bashforth over history), evaluate, correct
+      (Adams-Moulton incl. the new node), evaluate — the 2nd eval seeds the
+      history, so the method pays exactly 2 f-evals per trial step;
+    * Milne device for the error estimate (predictor-corrector difference),
+      same PI-style controller and loud NaN-poison policy as dopri5 above;
+      growth is clamped to 2x per step (multistep stability needs bounded
+      step ratios, unlike one-step RK).
+
+    On smooth trained CNF fields this trades more (cheaper) steps for a lower
+    NFE than dopri5 — measured A/B in benchmarks/abm_ab.py / PARITY.md.
+    """
+    tdt = _time_dtype(y0)
+    t0 = jnp.asarray(t0, tdt)
+    t1 = jnp.asarray(t1, tdt)
+    span = t1 - t0
+    direction = jnp.sign(span)
+    tiny = jnp.asarray(1e-12, tdt)
+
+    f0 = f(t0, y0, args)
+    dt_init = span * jnp.asarray(cfg.dt0, tdt)
+
+    ts_h0 = jnp.full((_ABM_K,), t0, tdt)
+    fs_h0 = jax.tree_util.tree_map(
+        lambda l: jnp.zeros((_ABM_K,) + l.shape, l.dtype).at[0].set(l), f0
+    )
+
+    def cond(state):
+        (t, _y, _dt, _ts, _fs, _nh, nfe, steps, nacc, done) = state
+        return jnp.logical_and(jnp.logical_not(done), steps < cfg.max_steps)
+
+    def body(state):
+        (t, y, dt, ts_h, fs_h, n_h, nfe, steps, nacc, _done) = state
+        remaining = t1 - t
+        dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
+        t_new = t + dt_c
+
+        w_pred, wc_new, wc_hist, milne = lax.switch(
+            jnp.clip(n_h - 1, 0, _ABM_K - 1),
+            [functools.partial(_abm_weights_branch, k) for k in range(1, _ABM_K + 1)],
+            ts_h,
+            t_new,
+        )
+
+        y_pred = jax.tree_util.tree_map(
+            lambda a, b: a + b, y, _hist_dot(w_pred, fs_h)
+        )
+        f_pred = f(t_new, y_pred, args)
+        corr_inc = _hist_dot(wc_hist, fs_h)
+        y_corr = jax.tree_util.tree_map(
+            lambda yl, fl, cl: yl + wc_new.astype(fl.dtype) * fl + cl,
+            y, f_pred, corr_inc,
+        )
+        err = jax.tree_util.tree_map(
+            lambda a, b: milne.astype(a.dtype) * (a - b), y_corr, y_pred
+        )
+        ratio = _rms_error_ratio(err, y, y_corr, cfg.rtol, cfg.atol, error_weight)
+        accept = ratio <= 1.0
+
+        # PECE second evaluate: the stored history derivative is f at the
+        # *corrected* solution
+        f_corr = f(t_new, y_corr, args)
+
+        inv_ord = 1.0 / (jnp.minimum(n_h, _ABM_K).astype(jnp.float32) + 1.0)
+        factor = jnp.clip(
+            cfg.safety * jnp.power(jnp.maximum(ratio, 1e-10), -inv_ord),
+            cfg.min_factor,
+            2.0,  # multistep stability: bounded step-ratio growth
+        ).astype(tdt)
+        dt_next = dt_c * factor
+
+        # shifted history (applied only on accept)
+        ts_acc = jnp.roll(ts_h, 1).at[0].set(t_new)
+        fs_acc = jax.tree_util.tree_map(
+            lambda buf, l: jnp.roll(buf, 1, axis=0).at[0].set(l), fs_h, f_corr
+        )
+
+        t_out = jnp.where(accept, t_new, t)
+        y_out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b), y_corr, y)
+        ts_out = jnp.where(accept, ts_acc, ts_h)
+        fs_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), fs_acc, fs_h
+        )
+        nh_out = jnp.where(accept, jnp.minimum(n_h + 1, _ABM_K), n_h)
+        done = jnp.logical_and(
+            accept, jnp.abs(t1 - t_out) <= tiny * jnp.maximum(jnp.abs(t1), 1.0)
+        )
+        return (t_out, y_out, dt_next, ts_out, fs_out, nh_out, nfe + 2,
+                steps + 1, nacc + accept.astype(jnp.int32), done)
+
+    state0 = (t0, y0, dt_init, ts_h0, fs_h0, jnp.int32(1), jnp.int32(1),
+              jnp.int32(0), jnp.int32(0), jnp.asarray(False))
+    (_t, y1, dt_f, _ts, _fs, _nh, nfe, steps, nacc, done) = lax.while_loop(
+        cond, body, state0
+    )
+    y1 = jax.tree_util.tree_map(
+        lambda l: jnp.where(done, l, jnp.full_like(l, jnp.nan)), y1
+    )
+    return y1, SolverStats(nfe, nacc, steps - nacc, dt_f)
 
 
 # ---------------------------------------------------------------------------
@@ -348,13 +563,17 @@ def odeint_dopri5_dense(
     t1: jax.Array,
     args: Pytree,
     cfg: SolverConfig,
-) -> Tuple[Pytree, jax.Array, DenseSolution]:
+) -> Tuple[Pytree, SolverStats, DenseSolution]:
     """Adaptive Dormand-Prince 5(4) that also returns a :class:`DenseSolution`.
 
-    Buffer capacity is ``cfg.dense_max_nodes``; if a solve accepts more steps
-    than that (far beyond the ~4-40 typical at rtol 1e-4), later nodes
-    overwrite the last slot and interpolation accuracy degrades gracefully in
-    the tail instead of erroring (shapes must be static under jit).
+    Buffer capacity is ``cfg.dense_max_nodes`` (shapes must be static under
+    jit).  If a solve accepts more steps than the buffer holds — far beyond
+    the ~4-40 typical at rtol 1e-4, i.e. exactly the stiff/long-flow regime
+    where interpolation accuracy matters most — the result and the dense
+    buffers are **NaN-poisoned** (the same loud-failure policy as step-budget
+    exhaustion above): a silently degraded interpolant would feed silently
+    wrong quadrature-adjoint gradients.  Fix by raising
+    ``SolverConfig.dense_max_nodes`` to at least (expected accepted steps + 1).
     """
     tab = _TABLEAUS.get(cfg.method, DOPRI5)
     n_evals = len(tab.A) + 1
@@ -398,7 +617,7 @@ def odeint_dopri5_dense(
         return jnp.logical_and(jnp.logical_not(done), steps < cfg.max_steps)
 
     def body(state):
-        (t, y, dt, k1, nfe, steps, _done, bufs, n) = state
+        (t, y, dt, k1, nfe, steps, _done, bufs, n) = state  # n - 1 == naccept
         remaining = t1 - t
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
         y5, err, k7 = _erk_step(tab, f, t, y, dt_c, k1, args)
@@ -433,13 +652,22 @@ def odeint_dopri5_dense(
         t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.asarray(False),
         bufs0, jnp.int32(1),
     )
-    (_t, y1, _dt, _k, nfe, _steps, done, bufs, n) = lax.while_loop(cond, body, state0)
+    (_t, y1, dt_f, _k, nfe, steps, done, bufs, n) = lax.while_loop(cond, body, state0)
+    # Loud failure on both budget exhaustion AND dense-buffer overflow: once
+    # n > max_nodes a node has clobbered the last slot and the tail of the
+    # interpolant is wrong, which would silently corrupt quadrature-adjoint
+    # gradients / trajectory() output — poison everything instead.
+    ok = jnp.logical_and(done, n <= max_nodes)
     y1 = jax.tree_util.tree_map(
-        lambda l: jnp.where(done, l, jnp.full_like(l, jnp.nan)), y1
+        lambda l: jnp.where(ok, l, jnp.full_like(l, jnp.nan)), y1
     )
     b_s, b_y, b_f = bufs
-    dense = DenseSolution(s=b_s, ys=b_y, fs=b_f, n=n, t0=t0, t1=t1)
-    return y1, nfe, dense
+    poison = lambda l: jnp.where(ok, l, jnp.full_like(l, jnp.nan))
+    b_y = jax.tree_util.tree_map(poison, b_y)
+    b_f = jax.tree_util.tree_map(poison, b_f)
+    dense = DenseSolution(s=b_s, ys=b_y, fs=b_f, n=jnp.minimum(n, max_nodes), t0=t0, t1=t1)
+    nacc = n - 1
+    return y1, SolverStats(nfe, nacc, steps - nacc, dt_f), dense
 
 
 # ---------------------------------------------------------------------------
@@ -466,7 +694,7 @@ def odeint_fixed(
     t1: jax.Array,
     args: Pytree,
     cfg: SolverConfig,
-) -> Tuple[Pytree, jax.Array]:
+) -> Tuple[Pytree, SolverStats]:
     """Fixed-step integration via ``lax.scan`` — static step count, so XLA sees
     a bounded unrolled-in-time program it can pipeline, and reverse-mode AD
     (discretize-then-optimize) works out of the box.  ``cfg.remat`` wraps each
@@ -488,7 +716,7 @@ def odeint_fixed(
         body = jax.checkpoint(body)
 
     y1, _ = lax.scan(body, y0, jnp.arange(n))
-    return y1, jnp.int32(evals * n)
+    return y1, SolverStats(jnp.int32(evals * n), jnp.int32(n), jnp.int32(0), dt)
 
 
 def odeint(
@@ -499,11 +727,13 @@ def odeint(
     args: Pytree,
     cfg: SolverConfig,
     error_weight: Pytree = None,
-) -> Tuple[Pytree, jax.Array]:
+) -> Tuple[Pytree, SolverStats]:
     """Dispatch on ``cfg.method``. Gradient handling lives one level up
     (``ops.adjoint.odeint_diff``). ``error_weight`` marks which state leaves
     enter the adaptive error norm (seminorm support; ignored by fixed-step
     methods)."""
     if cfg.method in _TABLEAUS:
         return odeint_dopri5(f, y0, t0, t1, args, cfg, error_weight)
+    if cfg.method == "abm":
+        return odeint_abm(f, y0, t0, t1, args, cfg, error_weight)
     return odeint_fixed(f, y0, t0, t1, args, cfg)

@@ -57,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ICNFConfig, Mode, TraceEstimator
 
-__all__ = ["fused_solve_applicable", "fused_solve_rk4"]
+__all__ = ["fused_solve_applicable", "fused_solve_rk4", "fused_solve_tile"]
 
 LANE = 128
 F32 = jnp.float32
@@ -370,6 +370,17 @@ def _tile_for(b: int, requested: int) -> Optional[int]:
     return None
 
 
+def fused_solve_tile(batch: int, hidden: int, requested: int = 256) -> Optional[int]:
+    """The batch tile the kernels will actually use, or ``None`` if no valid
+    tiling exists.  Applies the hidden-width VMEM shrink *before* the
+    divisibility check, so gating on this function and the tile chosen inside
+    ``_prep`` can never disagree (a ``h > 128`` net shrinks the tile; e.g.
+    h=176 with batch 144 tiles at 128 → invalid → fall back to XLA)."""
+    if hidden > LANE:
+        requested = min(requested, max(8, (requested * LANE) // _pad128(hidden)))
+    return _tile_for(batch, requested)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def fused_solve_rk4(u0, eps, ys_pad, params, tspan, nz: int, t_col, steps: int,
                     tile_b: int = 256, compute_dtype=None):
@@ -387,10 +398,9 @@ def _prep(u0, eps, ys_pad, params, tspan, nz, t_col, steps, tile_b):
     h = params[0]["w"].shape[1]
     n_out = params[2]["w"].shape[1]
     # wider hidden tiles hold ~hp/LANE x the per-stage intermediates in VMEM;
-    # shrink the batch tile to compensate
-    if h > LANE:
-        tile_b = min(tile_b, max(8, (tile_b * LANE) // _pad128(h)))
-    tb = _tile_for(b, tile_b)
+    # shrink the batch tile to compensate (shared with the applicability gate
+    # via fused_solve_tile so gate and kernel can never disagree)
+    tb = fused_solve_tile(b, h, tile_b)
     u0_p = jnp.pad(u0.astype(F32), ((0, 0), (0, LANE - sd)))
     eps_p = jnp.pad(eps.astype(F32), ((0, 0), (0, LANE - eps.shape[1])))
     if ys_pad is not None:

@@ -150,9 +150,11 @@ def shard_train_step(
         # params/opt-state shardings come from the committed inputs
         return jax.jit(step, in_shardings=(None, None, repl, batch_sh, ys_sh),
                        donate_argnums=(0, 1))
+    # a single sharding is a valid pytree prefix for the whole output, so the
+    # step may return any structure (params, opt_state, loss[, stats, ...])
     return jax.jit(
         step,
         in_shardings=(repl, repl, repl, batch_sh, ys_sh),
-        out_shardings=(repl, repl, repl),
+        out_shardings=repl,
         donate_argnums=(0, 1),
     )

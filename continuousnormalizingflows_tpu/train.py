@@ -36,7 +36,7 @@ import numpy as np
 import optax
 
 from .config import Mode
-from .core import inference, loss
+from .core import inference, loss_with_stats
 from .models.icnf import ICNF
 
 __all__ = ["default_optimizer", "FitResult", "ICNFModel", "CondICNFModel"]
@@ -65,6 +65,18 @@ def default_optimizer(
         optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
     ]
     return optax.chain(*steps)
+
+
+def _table_to_matrix(X) -> np.ndarray:
+    """Accept table-style inputs the way the reference MLJ facade does
+    (``permutedims(MMI.matrix(X))``, mlj_ext/core_icnf.jl:33): anything with
+    ``to_numpy`` (pandas/polars DataFrames) or a dict of columns converts to
+    an (n, d) matrix; arrays pass through."""
+    if hasattr(X, "to_numpy"):
+        return np.asarray(X.to_numpy())
+    if isinstance(X, dict):
+        return np.stack([np.asarray(col) for col in X.values()], axis=1)
+    return X
 
 
 @dataclasses.dataclass
@@ -108,12 +120,14 @@ class ICNFModel:
 
         def step(params, opt_state, key, xs, ys):
             def loss_fn(p):
-                return loss(icnf, Mode.TRAIN, xs, p, key=key, ys=ys if conditional else None)
+                return loss_with_stats(
+                    icnf, Mode.TRAIN, xs, p, key=key, ys=ys if conditional else None
+                )
 
-            l, grads = jax.value_and_grad(loss_fn)(params)
+            (l, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, l
+            return params, opt_state, l, stats
 
         if self.mesh is not None:
             from .parallel.mesh import shard_train_step
@@ -137,7 +151,7 @@ class ICNFModel:
         for conditional models.  Pass ``params`` to warm-start (mid-training
         resume pairs with utils.checkpoint)."""
         icnf = self.icnf
-        xs_all = jnp.asarray(X, icnf.config.dtype)
+        xs_all = jnp.asarray(_table_to_matrix(X), icnf.config.dtype)
         if xs_all.ndim != 2 or xs_all.shape[1] != icnf.config.nvariables:
             raise ValueError(
                 f"X must be (n, {icnf.config.nvariables}), got {xs_all.shape}"
@@ -157,6 +171,10 @@ class ICNFModel:
         if params is None:
             key, k_init = jax.random.split(key)
             params = icnf.init(k_init)
+        else:
+            # the jitted step donates its params input (buffer reuse); a
+            # warm start must not invalidate the *caller's* arrays
+            params = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params)
         opt_state = self.optimizer.init(params)
         step_fn = self._make_step()
 
@@ -184,7 +202,9 @@ class ICNFModel:
                     xb = jax.device_put(xb, batch_sharding)
                     if yb is not None:
                         yb = jax.device_put(yb, batch_sharding)
-                params, opt_state, l = step_fn(params, opt_state, k_step, xb, yb)
+                params, opt_state, l, sol_stats = step_fn(
+                    params, opt_state, k_step, xb, yb
+                )
                 if it % self.log_every == 0:
                     last_loss = float(l)
                     history.append(last_loss)
@@ -199,6 +219,16 @@ class ICNFModel:
             "wall_time_s": time.perf_counter() - t_start,
             "final_loss": last_loss,
         }
+        if it:
+            # per-solve diagnostics of the last train step (reference solver
+            # verbosity analogue, icnf.jl:100-101): NFE, accepted/rejected
+            # adaptive steps, controller step size at exit
+            stats.update(
+                nfe=int(sol_stats.nfe),
+                naccept=int(sol_stats.naccept),
+                nreject=int(sol_stats.nreject),
+                dt_final=float(sol_stats.dt_final),
+            )
         return FitResult(params=params, history=history, stats=stats)
 
     def transform(self, X, params: Pytree, Y=None) -> jax.Array:

@@ -124,6 +124,42 @@ def test_quadrature_gradient_full_model():
         assert jnp.max(jnp.abs(a - b)) < 2e-3, (a, b)
 
 
+def test_adjoint_slim_args_gradient_parity():
+    """The backsolve adjoint excludes the probe from its quadrature states
+    (round-1 Weak #2): param gradients must still match discretize-then-
+    optimize to tight tolerance, and the probe cotangent is a structural
+    zero on the adjoint path."""
+    solver_adj = SolverConfig(method="dopri5", rtol=1e-6, atol=1e-6,
+                              gradient="adjoint")
+    solver_bp = SolverConfig(method="rk4", gradient="backprop", fixed_steps=64)
+    key = jax.random.PRNGKey(0)
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+
+    icnf_a = make(nvariables=2, solver=solver_adj, steer_rate=0.0)
+    icnf_b = make(nvariables=2, solver=solver_bp, steer_rate=0.0)
+    params = icnf_a.init(jax.random.PRNGKey(7))
+
+    g_a = jax.grad(lambda p: cnf.loss(icnf_a, Mode.TRAIN, x, p, key=key))(params)
+    g_b = jax.grad(lambda p: cnf.loss(icnf_b, Mode.TRAIN, x, p, key=key))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_a), jax.tree_util.tree_leaves(g_b)):
+        assert jnp.max(jnp.abs(a - b)) < 2e-3
+
+    # probe cotangent: structural zero under the adjoint, by contract
+    from continuousnormalizingflows_tpu.ops.adjoint import odeint_diff
+
+    def run(eps):
+        args = {"params": jnp.float32(0.3), "eps": eps}
+
+        def f(t, y, a):
+            return a["params"] * y + jnp.mean(a["eps"]) * 0.0
+
+        y1, _ = odeint_diff(f, jnp.ones((2,)), 0.0, 1.0, args, solver_adj)
+        return jnp.sum(y1)
+
+    g_eps = jax.grad(run)(jnp.ones((3, 2)))
+    np.testing.assert_allclose(np.asarray(g_eps), 0.0)
+
+
 def test_trajectory_dense_path():
     """cnf.trajectory: z(t) at arbitrary times via the dense interpolant —
     endpoints must match the direct solve; path must be continuous."""
@@ -151,6 +187,25 @@ def test_trajectory_dense_path():
     # continuity: adjacent snapshots differ boundedly
     deltas = np.asarray(jnp.max(jnp.abs(path[1:] - path[:-1])))
     assert deltas.max() < 5.0
+
+
+def test_trajectory_feature_first_layout():
+    """trajectory() must work (and agree with batch-first) when the model is
+    configured with layout='feature_first' — it always builds batch-first
+    state, forcing the batch-first dynamics internally."""
+    solver = SolverConfig(rtol=1e-5, atol=1e-5)
+    ts = jnp.linspace(0.0, 1.0, 5)
+    icnf_bf = make(nvariables=2, solver=solver, layout="batch_first")
+    params = icnf_bf.init(jax.random.PRNGKey(0))
+    # batch != state_dim so a layout mix-up cannot silently broadcast
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (6, 2))
+    path_bf, _ = cnf.trajectory(icnf_bf, x, params, ts)
+
+    icnf_ff = make(nvariables=2, solver=solver, layout="feature_first")
+    path_ff, _ = cnf.trajectory(icnf_ff, x, params, ts)
+    np.testing.assert_allclose(
+        np.asarray(path_ff), np.asarray(path_bf), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_vector_mode_single_sample():

@@ -46,6 +46,42 @@ def test_train_mode_dist_uses_fresh_probes():
     assert not np.allclose(np.asarray(lp1), np.asarray(lp2))  # stochastic trace
 
 
+def test_train_mode_per_call_key_reproducible():
+    """key= pins the probe: identical calls return identical estimates, and
+    the hidden key state is not advanced (reference ICNFDist carries a hidden
+    rng too; here the override removes the surprise)."""
+    icnf, params = make_fitted()
+    d = cnf.ICNFDist(icnf, params, mode=Mode.TRAIN)
+    x = 0.3 * jnp.ones((3, 2))
+    k = jax.random.PRNGKey(7)
+    lp1 = d.logpdf(x, key=k)
+    lp2 = d.logpdf(x, key=k)
+    np.testing.assert_array_equal(np.asarray(lp1), np.asarray(lp2))
+    assert np.allclose(np.asarray(d.pdf(x, key=k)), np.exp(np.asarray(lp1)))
+
+
+def test_features_first_layout_shim_warns_once():
+    """(nvariables, n) inputs are transposed with a one-shot warning — the
+    reference's cross-mode reshape shims (@warn maxlog=1,
+    dist_ext/core_icnf.jl:22-41)."""
+    import warnings as _w
+
+    import continuousnormalizingflows_tpu.dist as dist_mod
+
+    icnf, params = make_fitted()
+    d = cnf.ICNFDist(icnf, params)
+    x = 0.3 * jnp.ones((5, 2))  # batch-first, 5 samples of 2 vars
+    lp_ref = d.logpdf(x)
+
+    dist_mod._warned_transpose = False
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        lp_t = d.logpdf(x.T)  # features-first
+        np.testing.assert_allclose(np.asarray(lp_t), np.asarray(lp_ref), rtol=1e-6)
+        d.logpdf(x.T)
+    assert sum("features-first" in str(r.message) for r in rec) == 1
+
+
 def test_conditional_dist():
     icnf, params = make_fitted(nconditions=2)
     ys = jnp.array([0.5, -0.5])

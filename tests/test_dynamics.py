@@ -41,6 +41,98 @@ class TestExactTrace:
         assert jnp.all(du[:, nz + 1 :] == 0.0)
 
 
+class TestAnalyticMLPTrace:
+    """The analytic exact trace (O(1) matmul instead of nz linearize sweeps —
+    ops.dynamics._mlp_exact_trace) vs brute-force jacfwd, across arities."""
+
+    @pytest.mark.parametrize("nvariables", [2, 11])
+    @pytest.mark.parametrize("conditioned", [False, True])
+    def test_matches_jacfwd(self, nvariables, conditioned):
+        icnf = make_model(nvariables=nvariables,
+                          nconditions=2 if conditioned else 0)
+        params = icnf.init(jax.random.PRNGKey(0))
+        nz = icnf.config.nz
+        f_aug = jax.jit(make_augmented_dynamics(icnf.config, icnf.net, Mode.TEST))
+        u = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (5, icnf.config.state_dim))
+        ys = 0.3 * jnp.ones((5, 2)) if conditioned else None
+
+        du = f_aug(0.3, u, {"params": params, "eps": None, "ys": ys})
+
+        field = make_field(icnf.config, icnf.net)
+
+        def single(zi, yi):
+            return field(0.3, zi[None, :], params, yi)[0]
+
+        jac = jax.vmap(
+            lambda zi, yi: jax.jacfwd(lambda q: single(q, yi))(zi)
+        )(u[:, :nz], ys if conditioned else jnp.zeros((5, 0)))
+        div_ref = jnp.trace(jac, axis1=-2, axis2=-1)
+        np.testing.assert_allclose(
+            np.asarray(du[:, nz]), -np.asarray(div_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_single_hidden_layer(self):
+        from continuousnormalizingflows_tpu.models.nets import MLP
+
+        cfg = ICNFConfig(nvariables=3)
+        net = MLP((cfg.n_in, 16, cfg.n_out))
+        icnf = ICNF(config=cfg, net=net)
+        params = icnf.init(jax.random.PRNGKey(0))
+        nz = cfg.nz
+        f_aug = jax.jit(make_augmented_dynamics(cfg, net, Mode.TEST))
+        u = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (4, cfg.state_dim))
+        du = f_aug(0.2, u, {"params": params, "eps": None, "ys": None})
+        div_ref, _ = reference_divergence(icnf, params, 0.2, u[:, :nz])
+        np.testing.assert_allclose(
+            np.asarray(du[:, nz]), -np.asarray(div_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_matches_sweep_path(self):
+        """Analytic vs the generic linearize-sweep (forced via a net that is
+        not an MLP instance): identical augmented derivatives."""
+        from continuousnormalizingflows_tpu.models.nets import MLP, DynamicsNet
+
+        cfg = ICNFConfig(nvariables=4)
+        mlp = MLP((cfg.n_in, 24, 24, cfg.n_out))
+
+        class Opaque(DynamicsNet):  # same math, defeats isinstance(MLP)
+            n_in, n_out = mlp.n_in, mlp.n_out
+
+            def init(self, key):
+                return mlp.init(key)
+
+            def apply(self, params, x):
+                return mlp.apply(params, x)
+
+        params = mlp.init(jax.random.PRNGKey(0))
+        u = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (6, cfg.state_dim))
+        args = {"params": params, "eps": None, "ys": None}
+        du_fast = jax.jit(make_augmented_dynamics(cfg, mlp, Mode.TEST))(0.7, u, args)
+        du_sweep = jax.jit(make_augmented_dynamics(cfg, Opaque(), Mode.TEST))(0.7, u, args)
+        np.testing.assert_allclose(
+            np.asarray(du_fast), np.asarray(du_sweep), rtol=1e-5, atol=1e-6
+        )
+
+    def test_feature_first_parity(self):
+        import dataclasses
+
+        cfg = ICNFConfig(nvariables=3)
+        icnf = make_model(nvariables=3)
+        params = icnf.init(jax.random.PRNGKey(0))
+        u = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (6, icnf.config.state_dim))
+        args = {"params": params, "eps": None, "ys": None}
+        du_bf = jax.jit(make_augmented_dynamics(icnf.config, icnf.net, Mode.TEST))(
+            0.4, u, args
+        )
+        cfg_ff = dataclasses.replace(icnf.config, layout="feature_first")
+        du_ff = jax.jit(make_augmented_dynamics(cfg_ff, icnf.net, Mode.TEST))(
+            0.4, u.T, args
+        )
+        np.testing.assert_allclose(
+            np.asarray(du_ff.T), np.asarray(du_bf), rtol=1e-5, atol=1e-6
+        )
+
+
 class TestHutchinson:
     @pytest.mark.parametrize("trace", [TraceEstimator.HUTCH_VJP, TraceEstimator.HUTCH_JVP])
     def test_unbiased(self, trace):

@@ -42,6 +42,85 @@ class TestAccuracy:
         assert jnp.max(jnp.abs(y1 - jnp.exp(-1.0))) < 1e-4
         assert int(nfe) > 6
 
+    def test_solver_stats_diagnostics(self):
+        """SolverStats bookkeeping: trials = accepted + rejected, NFE follows
+        the per-trial eval count, dt_final is a sane controller state."""
+        stats = jsolve(f_decay, jnp.ones((4, 3)), 0.0, 1.0, None, SolverConfig())[1]
+        na, nr, nfe = int(stats.naccept), int(stats.nreject), int(stats.nfe)
+        assert na > 0 and nr >= 0
+        assert nfe == 1 + 6 * (na + nr)  # FSAL: 1 init eval + 6 per trial
+        assert float(stats.dt_final) > 0.0
+
+        # a tight-tolerance solve of a curvy problem must report rejections
+        def f_osc(t, y, args):
+            return jnp.stack([y[1], -40.0 * y[0]])
+
+        cfg = SolverConfig(rtol=1e-7, atol=1e-7, dt0=0.5, max_factor=100.0)
+        stats2 = jsolve(f_osc, jnp.array([1.0, 0.0]), 0.0, 3.0, None, cfg)[1]
+        assert int(stats2.nreject) > 0
+
+        # fixed-step path: naccept = steps, nreject = 0
+        cfgf = SolverConfig(method="rk4", gradient="backprop", fixed_steps=16)
+        statsf = jsolve(f_decay, jnp.ones((2,)), 0.0, 1.0, None, cfgf)[1]
+        assert int(statsf.naccept) == 16 and int(statsf.nreject) == 0
+        assert abs(float(statsf.dt_final) - 1.0 / 16) < 1e-7
+
+    def test_abm_exponential(self):
+        """Variable-step Adams-Bashforth-Moulton PECE (the reference's VCABM
+        solver class, icnf.jl:89): accuracy within tolerance class at ~2
+        f-evals/step."""
+        y0 = jnp.ones((4, 3))
+        cfg = SolverConfig(method="abm")
+        y1, stats = jsolve(f_decay, y0, 0.0, 1.0, None, cfg)
+        assert jnp.max(jnp.abs(y1 - jnp.exp(-1.0))) < 5e-4
+        # multistep efficiency: 2 evals per trial + 1 init
+        assert int(stats.nfe) == 1 + 2 * (int(stats.naccept) + int(stats.nreject))
+
+    def test_abm_tightens_with_tolerance(self):
+        y0 = jnp.array([1.0, 0.5])
+
+        def f_osc(t, y, args):
+            return jnp.stack([y[1], -y[0]])
+
+        sol = lambda t: jnp.array([jnp.cos(t) + 0.5 * jnp.sin(t),
+                                   -jnp.sin(t) + 0.5 * jnp.cos(t)])
+        errs = []
+        for tol in (1e-3, 1e-5):
+            cfg = SolverConfig(method="abm", rtol=tol, atol=tol)
+            y1, _ = jsolve(f_osc, y0, 0.0, 3.0, None, cfg)
+            errs.append(float(jnp.max(jnp.abs(y1 - sol(3.0)))))
+        assert errs[1] < errs[0] / 10, errs
+        # global error tracks ~10x the local tolerance (standard for local
+        # error control over a 3-unit span)
+        assert errs[1] < 2e-4, errs
+
+    def test_abm_reverse_span(self):
+        cfg = SolverConfig(method="abm", rtol=1e-6, atol=1e-6)
+        y0 = jnp.array([[1.0, 2.0]])
+        y1, _ = jsolve(f_decay, y0, 0.0, 1.0, None, cfg)
+        y0_rec, _ = jsolve(f_decay, y1, 1.0, 0.0, None, cfg)
+        assert jnp.max(jnp.abs(y0_rec - y0)) < 1e-4
+
+    def test_abm_adjoint_gradients(self):
+        cfg = SolverConfig(method="abm", gradient="adjoint", rtol=1e-6, atol=1e-6)
+
+        @jax.jit
+        def grads(a, y0):
+            def run(a_, y0_):
+                y1, _ = odeint_diff(f_linear, y0_, 0.0, 1.0, a_, cfg)
+                return jnp.sum(y1)
+
+            return jax.grad(run, argnums=(0, 1))(a, y0)
+
+        ga, gy0 = grads(jnp.float32(0.3), jnp.array([1.0, 2.0]))
+        assert abs(float(ga) - 3 * jnp.exp(0.3)) < 1e-3
+        assert jnp.max(jnp.abs(gy0 - jnp.exp(0.3))) < 1e-3
+
+    def test_abm_budget_exhaustion_is_loud(self):
+        cfg = SolverConfig(method="abm", max_steps=3)
+        y1, _ = jsolve(f_decay, jnp.ones((2,)), 0.0, 1.0, None, cfg)
+        assert jnp.all(jnp.isnan(y1))
+
     @pytest.mark.parametrize("method,tol", [("rk4", 1e-5), ("euler", 5e-2)])
     def test_fixed_exponential(self, method, tol):
         cfg = SolverConfig(method=method, gradient="backprop", fixed_steps=64)
@@ -186,6 +265,54 @@ class TestDenseOutput:
         y_mid = eval_dense(dense, jnp.float32(0.5))
         # trajectory through (t=1, 0.5): y(t) = 0.5 e^{1-t}
         assert jnp.max(jnp.abs(y_mid - 0.5 * jnp.exp(0.5))) < 1e-4
+
+    def test_node_buffer_overflow_is_loud(self):
+        """A solve accepting more steps than dense_max_nodes must NaN-poison
+        the result and the interpolant — never silently degrade (the overflow
+        regime, many accepted steps, is exactly when the quadrature adjoint is
+        chosen for its interpolation accuracy)."""
+
+        def f_osc(t, y, args):
+            return jnp.stack([y[1], -y[0]])
+
+        y0 = jnp.array([1.0, 0.0])
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def solve(y0_, cfg):
+            return odeint_dopri5_dense(f_osc, y0_, 0.0, 20.0, None, cfg)
+
+        # control: ample buffer — finite result, many accepted nodes
+        big = SolverConfig(rtol=1e-6, atol=1e-6, dense_max_nodes=512)
+        y1, _nfe, dense = solve(y0, big)
+        assert jnp.all(jnp.isfinite(y1))
+        assert int(dense.n) > 8
+
+        # overflow: tiny buffer — everything poisoned
+        small = SolverConfig(rtol=1e-6, atol=1e-6, dense_max_nodes=8)
+        y1_bad, _nfe, dense_bad = solve(y0, small)
+        assert jnp.all(jnp.isnan(y1_bad))
+        assert jnp.all(jnp.isnan(eval_dense(dense_bad, jnp.float32(0.5))))
+
+    def test_quadrature_gradient_overflow_is_loud(self):
+        """Quadrature-adjoint gradients through an overflowed dense buffer
+        must surface as NaN, not as a silently wrong value."""
+
+        def f_osc(t, y, args):
+            return jnp.stack([args * y[1], -args * y[0]])
+
+        cfg = SolverConfig(
+            rtol=1e-6, atol=1e-6, gradient="quadrature", dense_max_nodes=8
+        )
+
+        @jax.jit
+        def grad_a(a):
+            def run(a_):
+                y1, _ = odeint_diff(f_osc, jnp.array([1.0, 0.0]), 0.0, 20.0, a_, cfg)
+                return jnp.sum(y1)
+
+            return jax.grad(run)(a)
+
+        assert jnp.isnan(grad_a(jnp.float32(1.0)))
 
 
 class TestGradients:

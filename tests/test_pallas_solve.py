@@ -181,3 +181,41 @@ def test_applicability_gate():
     assert not fused_solve_applicable(icnf.config, icnf.net, Mode.TEST)
     cfg_on = dataclasses.replace(icnf.config, fused=True)
     assert not fused_solve_applicable(cfg_on, icnf.net, Mode.TEST)  # exact trace
+
+
+def test_gate_tile_consistency():
+    """The applicability gate and the kernel's internal tile choice must use
+    the same hidden-width shrink: h=176 with batch 144 used to pass the old
+    gate (tile 144) and then crash inside the kernel (tile 128)."""
+    from continuousnormalizingflows_tpu.ops.pallas_solve import fused_solve_tile
+
+    # wide hidden shrinks the requested tile before the divisibility check
+    assert fused_solve_tile(144, 176) is None  # 144 not divisible by 128
+    assert fused_solve_tile(256, 176) == 128
+    assert fused_solve_tile(256, 64) == 256
+    assert fused_solve_tile(144, 64) == 144
+    assert fused_solve_tile(100, 64) is None  # 100 % 8 != 0 tile impossible
+
+
+def test_gate_mismatch_falls_back_to_xla():
+    """End-to-end: a config passing fused_solve_applicable but with an
+    un-tileable (batch, hidden) combination must run the XLA path, not crash
+    (ADVICE round-1, pallas_solve gate/tile mismatch)."""
+    from continuousnormalizingflows_tpu.models.nets import MLP
+    from continuousnormalizingflows_tpu.core import _solve
+
+    cfg = ICNFConfig(
+        nvariables=9,
+        fused=True,
+        solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=4),
+    )
+    net = MLP((cfg.n_in, 176, 176, cfg.n_out))
+    icnf = cnf.ICNF(config=cfg, net=net)
+    params = icnf.init(jax.random.PRNGKey(0))
+    b = 144  # passes _tile_for(b, 256) but not the width-shrunk tile
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (b, cfg.nvariables))
+    lp, _augs, _nfe = cnf.inference(
+        icnf, Mode.TRAIN, x, params, key=jax.random.PRNGKey(2)
+    )
+    assert lp.shape == (b,)
+    assert jnp.all(jnp.isfinite(lp))

@@ -68,6 +68,12 @@ def test_fitresult_stats(beta_fit):
     assert result.stats["iterations"] == 300
     assert result.stats["epochs"] == 300
     assert len(result.history) >= 4
+    # solver diagnostics of the last step surface in fit stats (reference
+    # solver verbosity analogue, icnf.jl:100-101)
+    assert result.stats["nfe"] > 0
+    assert result.stats["naccept"] > 0
+    assert result.stats["nreject"] >= 0
+    assert result.stats["dt_final"] != 0.0
 
 
 def test_checkpoint_roundtrip(tmp_path, beta_fit):
@@ -155,3 +161,22 @@ def test_batching_shapes():
     assert batches.shape == (3, 32)  # static shapes, remainder dropped
     full = model._batches(jax.random.PRNGKey(0), 20)
     assert full.shape == (1, 20)  # batchsize > n: whole dataset
+
+
+def test_table_input_fit():
+    """fit() accepts table-style inputs (dict of columns / .to_numpy duck
+    type) like the reference MLJ facade's matrix(X) conversion
+    (mlj_ext/core_icnf.jl:33)."""
+    icnf = cnf.ICNF.create(nvariables=2, solver=FAST_TRAIN)
+    model = cnf.ICNFModel(icnf, epochs=1, batchsize=0)
+    rng = np.random.default_rng(0)
+    cols = {"a": rng.normal(size=16), "b": rng.normal(size=16)}
+    res = model.fit(cols)
+    assert np.isfinite(res.stats["final_loss"])
+
+    class _Tablish:
+        def to_numpy(self):
+            return np.stack([cols["a"], cols["b"]], axis=1)
+
+    res2 = model.fit(_Tablish())
+    assert np.isfinite(res2.stats["final_loss"])

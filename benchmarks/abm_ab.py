@@ -30,6 +30,18 @@ from continuousnormalizingflows_tpu.utils import datasets
 REPS = 10
 
 
+def _data(key, n, nvariables):
+    """2-D ring mixture in the first two dims, correlated noise in the rest
+    (keeps higher-d fields nontrivial without a bespoke dataset)."""
+    k1, k2 = jax.random.split(key)
+    x2 = datasets.gaussian_mixture(k1, n)
+    if nvariables == 2:
+        return x2
+    rest = 0.5 * jax.random.normal(k2, (n, nvariables - 2))
+    rest = rest + 0.3 * x2[:, :1]
+    return jnp.concatenate([x2, rest], axis=1)
+
+
 def train_field(nvariables, train_iters, batch):
     """Quick rk4-backprop fit so the measured fields are post-training
     (regularization straightens trajectories -> the solver-efficiency regime
@@ -39,7 +51,7 @@ def train_field(nvariables, train_iters, batch):
         solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=32),
     )
     params = icnf.init(jax.random.PRNGKey(0))
-    x = datasets.gaussian_mixture(jax.random.PRNGKey(1), batch)
+    x = _data(jax.random.PRNGKey(1), batch, nvariables)
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 

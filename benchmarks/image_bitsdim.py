@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--train-n", type=int, default=16384)
+    ap.add_argument("--cosine", action="store_true",
+                    help="cosine-decay the learning rate over --steps")
     ap.add_argument("--precision", default="default",
                     help="train MXU precision: default (bf16 passes) | highest")
     args = ap.parse_args()
@@ -97,17 +99,23 @@ def main():
     true_bpd = float(datasets.nats_to_bits_per_dim(jnp.float32(true_nll), d))
     print(f"true NLL {true_nll:.2f} nats = {true_bpd:.4f} bits/dim", flush=True)
 
+    lr = (
+        optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
+        if args.cosine
+        else args.lr
+    )
     opt = optax.chain(optax.clip_by_global_norm(1.0),
-                      optax.adamw(args.lr, weight_decay=1e-4))
+                      optax.adamw(lr, weight_decay=1e-4))
     opt_state = opt.init(params)
 
     @jax.jit
-    def run_chunk(params, opt_state, key, i0):
-        def step(carry, i):
+    def run_chunk(params, opt_state, key, xb_all):
+        # batches are pre-gathered outside jit: an in-scan gather over the
+        # full train set materialized a train_n-sized temp per step on TPU
+        # (HBM OOM at d=784); the chunk of batches is a modest dense input
+        def step(carry, xb):
             params, opt_state, key = carry
-            key, k_b, k_s = jax.random.split(key, 3)
-            idx = jax.random.randint(k_b, (args.batch,), 0, args.train_n)
-            xb = x_train[idx]
+            key, k_s = jax.random.split(key)
             l, g = jax.value_and_grad(
                 lambda p: cnf.loss(icnf, Mode.TRAIN, xb, p, key=k_s)
             )(params)
@@ -115,7 +123,7 @@ def main():
             return (optax.apply_updates(params, updates), opt_state, key), l
 
         (params, opt_state, key), ls = jax.lax.scan(
-            step, (params, opt_state, key), i0 + jnp.arange(args.eval_every)
+            step, (params, opt_state, key), xb_all
         )
         return params, opt_state, key, ls[-1]
 
@@ -125,6 +133,7 @@ def main():
         return datasets.nats_to_bits_per_dim(-jnp.mean(lp), d), stats.nfe
 
     key = jax.random.PRNGKey(3)
+    key_batch = jax.random.PRNGKey(4)
     bpd0, nfe0 = eval_bpd(params)
     print(f"step 0: bits/dim {float(bpd0):.4f} (true {true_bpd:.4f}, "
           f"gap {float(bpd0)-true_bpd:.4f}) NFE {int(nfe0)}", flush=True)
@@ -132,9 +141,12 @@ def main():
     t0 = time.perf_counter()
     done = 0
     while done < args.steps:
-        params, opt_state, key, l = run_chunk(
-            params, opt_state, key, jnp.int32(done)
+        key_batch, kb = jax.random.split(key_batch)
+        idx = jax.random.randint(
+            kb, (args.eval_every, args.batch), 0, args.train_n
         )
+        xb_all = x_train[idx]  # gathered once per chunk, outside the scan
+        params, opt_state, key, l = run_chunk(params, opt_state, key, xb_all)
         done += args.eval_every
         bpd, nfe = eval_bpd(params)
         dt = time.perf_counter() - t0

@@ -19,6 +19,11 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+if "--cpu" in sys.argv:  # must precede backend init (axon sitecustomize gotcha)
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import jax
 import jax.numpy as jnp
 

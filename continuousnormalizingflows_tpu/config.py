@@ -170,6 +170,12 @@ class ICNFConfig:
     trace: TraceEstimator = TraceEstimator.HUTCH_VJP
     probe_dist: ProbeDist = ProbeDist.GAUSSIAN
     nprobes: int = 1  # reference uses a single fresh probe per solve
+    # Mesh axis name to shard the probe ensemble over (SURVEY §2.9 "probe"
+    # axis): with nprobes > 1 each rank of the axis computes its own probes'
+    # VJP sweeps and the trace mean becomes a psum — variance-reduction
+    # parallelism.  Requires an enclosing `jax.set_mesh(mesh)` whose mesh has
+    # this axis (parallel.make_mesh's "model" axis works).  None = replicated.
+    probe_axis: Any = None
     steer_rate: float = 0.1
     lambda_1: float = 0.01  # kinetic-energy weight (RNODE)
     lambda_2: float = 0.01  # Jacobian-Frobenius weight (RNODE)

@@ -74,8 +74,17 @@ def sample_probe(cfg: ICNFConfig, key: jax.Array, batch: int) -> jax.Array:
     width is ``nvariables + n_aug_input == nz`` (base_icnf.jl:207-208)."""
     shape = (cfg.nprobes, batch, cfg.nz)
     if cfg.probe_dist is ProbeDist.RADEMACHER:
-        return jax.random.rademacher(key, shape, cfg.dtype)
-    return jax.random.normal(key, shape, cfg.dtype)
+        eps = jax.random.rademacher(key, shape, cfg.dtype)
+    else:
+        eps = jax.random.normal(key, shape, cfg.dtype)
+    if cfg.probe_axis is not None and cfg.nprobes > 1:
+        # shard the probe ensemble over the named mesh axis (needs an
+        # enclosing jax.set_mesh); the batch axis inherits its sharding from
+        # the solve state via GSPMD propagation
+        eps = jax.lax.with_sharding_constraint(
+            eps, jax.sharding.PartitionSpec(cfg.probe_axis)
+        )
+    return eps
 
 
 def steer_t1(cfg: ICNFConfig, key: jax.Array) -> jax.Array:

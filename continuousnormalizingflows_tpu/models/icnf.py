@@ -68,6 +68,7 @@ class ICNF:
         trace: TraceEstimator = TraceEstimator.HUTCH_VJP,
         probe_dist: ProbeDist = ProbeDist.GAUSSIAN,
         nprobes: int = 1,
+        probe_axis=None,
         steer_rate: float = 0.1,
         lambda_1: float = 0.01,
         lambda_2: float = 0.01,
@@ -92,6 +93,7 @@ class ICNF:
             trace=trace,
             probe_dist=probe_dist,
             nprobes=nprobes,
+            probe_axis=probe_axis,
             steer_rate=steer_rate,
             lambda_1=lambda_1,
             lambda_2=lambda_2,

@@ -300,6 +300,7 @@ def make_augmented_dynamics(
         and isinstance(net, MLP)
         and len(net.widths) == 4
         and net.widths[1] == net.widths[2]
+        and net.widths[1] <= 1024  # wider shrinks the VMEM-budget tile below 8
         and net.activation is jax.nn.softplus
         and jax.default_backend() == "tpu"
     )

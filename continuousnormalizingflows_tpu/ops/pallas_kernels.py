@@ -325,9 +325,30 @@ def mlp3_forward_vjp_reference(x, eps, params, nz: int):
 
 def _tile_for(b: int, tile_b: int) -> Optional[int]:
     tb = min(tile_b, b)
-    if b % tb == 0 and tb % 8 == 0:
-        return tb
+    while tb >= 8:
+        if b % tb == 0 and tb % 8 == 0:
+            return tb
+        tb -= 8
     return None
+
+
+def _stage_tile(b: int, n_in: int, h: int, requested: int, backward: bool) -> Optional[int]:
+    """Largest valid batch tile that keeps the stage kernel inside VMEM.
+
+    Budget model (float32 bytes): weights (and, in the backward, weight-grad
+    accumulators) are tile-independent residents; ~14 live (tile, hp)
+    intermediates scale with the tile.  Solving for the tile under a 12 MB
+    budget lets the backward run up to h = 1024 (tile 64) instead of
+    VMEM-OOMing — the round-1 wide-net gap (ROADMAP item 1)."""
+    ip, hp = _pad_to(n_in), _pad_to(h)
+    weights = 4 * (ip * hp + hp * hp + hp * LANE + 3 * hp)
+    resident = weights * (2 if backward else 1)
+    budget = 12 * 1024 * 1024 - resident
+    if budget <= 0:
+        return None
+    per_row = 4 * hp * (14 if backward else 10)
+    cap = max(8, (budget // per_row) // 8 * 8)
+    return _tile_for(b, min(requested, cap))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -348,7 +369,7 @@ def fused_dynamics_vjp(x, eps, params, nz: int, tile_b: int = 256, compute_dtype
     n_in = x.shape[1]
     h = params[0]["w"].shape[1]
     n_out = params[2]["w"].shape[1]
-    tb = _tile_for(x.shape[0], tile_b)
+    tb = _stage_tile(x.shape[0], n_in, h, tile_b, backward=False)
     if tb is None:
         return mlp3_forward_vjp_reference(x, eps, params, nz)
 
@@ -374,7 +395,8 @@ def _fused_fwd(x, eps, params, nz, tile_b, compute_dtype):
 
 def _fused_bwd(nz, tile_b, compute_dtype, residuals, cotangents):
     x, eps, params = residuals
-    tb = _tile_for(x.shape[0], tile_b)
+    tb = _stage_tile(x.shape[0], x.shape[1], params[0]["w"].shape[1], tile_b,
+                     backward=True)
     if tb is None:
         _, vjp_fn = jax.vjp(
             lambda x_, eps_, p_: mlp3_forward_vjp_reference(x_, eps_, p_, nz),

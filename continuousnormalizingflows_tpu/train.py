@@ -81,11 +81,15 @@ def _table_to_matrix(X) -> np.ndarray:
 
 @dataclasses.dataclass
 class FitResult:
-    """The reference's ``fitresult = (ps, st)`` + ``report`` (core_icnf.jl:52-57)."""
+    """The reference's ``fitresult = (ps, st)`` + ``report`` (core_icnf.jl:52-57).
+
+    ``opt_state`` is the final optimizer state — feed it back to
+    ``fit(params=..., opt_state=...)`` for an exact mid-training resume."""
 
     params: Pytree
     history: List[float]
     stats: dict
+    opt_state: Pytree = None
 
 
 class ICNFModel:
@@ -145,11 +149,18 @@ class ICNFModel:
 
     # -- public API --------------------------------------------------------
 
-    def fit(self, X, Y=None, params: Optional[Pytree] = None) -> FitResult:
+    def fit(
+        self,
+        X,
+        Y=None,
+        params: Optional[Pytree] = None,
+        opt_state: Optional[Pytree] = None,
+    ) -> FitResult:
         """Run the epochs x minibatch MLE loop (reference fit,
         core_icnf.jl:32-58).  ``X``: (n, nvariables); ``Y``: (n, nconditions)
-        for conditional models.  Pass ``params`` to warm-start (mid-training
-        resume pairs with utils.checkpoint)."""
+        for conditional models.  Pass ``params`` (and optionally the saved
+        ``opt_state``) to warm-start — exact mid-training resume pairs with
+        ``utils.checkpoint`` (save/load both)."""
         icnf = self.icnf
         xs_all = jnp.asarray(_table_to_matrix(X), icnf.config.dtype)
         if xs_all.ndim != 2 or xs_all.shape[1] != icnf.config.nvariables:
@@ -175,7 +186,13 @@ class ICNFModel:
             # the jitted step donates its params input (buffer reuse); a
             # warm start must not invalidate the *caller's* arrays
             params = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params)
-        opt_state = self.optimizer.init(params)
+        if opt_state is None:
+            opt_state = self.optimizer.init(params)
+        else:
+            opt_state = jax.tree_util.tree_map(
+                lambda a: jnp.array(a, copy=True) if hasattr(a, "shape") else a,
+                opt_state,
+            )
         step_fn = self._make_step()
 
         batch_sharding = None
@@ -229,7 +246,9 @@ class ICNFModel:
                 nreject=int(sol_stats.nreject),
                 dt_final=float(sol_stats.dt_final),
             )
-        return FitResult(params=params, history=history, stats=stats)
+        return FitResult(
+            params=params, history=history, stats=stats, opt_state=opt_state
+        )
 
     def transform(self, X, params: Pytree, Y=None) -> jax.Array:
         """TestMode densities ``exp(logp̂x)`` (reference transform,

@@ -208,6 +208,20 @@ def test_trajectory_feature_first_layout():
     )
 
 
+def test_abm_solver_full_model_parity():
+    """method='abm' (the reference's VCABM solver class) must reproduce the
+    dopri5 log-densities within the shared tolerance class, at lower NFE."""
+    icnf_dp = make(nvariables=2, solver=SolverConfig(method="dopri5"))
+    icnf_abm = make(nvariables=2, solver=SolverConfig(method="abm"))
+    params = icnf_dp.init(jax.random.PRNGKey(0))
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    lp_dp, _, st_dp = cnf.inference(icnf_dp, Mode.TEST, x, params)
+    lp_abm, _, st_abm = cnf.inference(icnf_abm, Mode.TEST, x, params)
+    np.testing.assert_allclose(np.asarray(lp_abm), np.asarray(lp_dp),
+                               rtol=2e-3, atol=2e-3)
+    assert int(st_abm.nfe) < int(st_dp.nfe), (int(st_abm.nfe), int(st_dp.nfe))
+
+
 def test_vector_mode_single_sample():
     """A 1-D input behaves as the reference's VectorMode: scalar outputs."""
     icnf = make(nvariables=2)

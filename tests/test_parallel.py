@@ -157,3 +157,30 @@ def test_estimator_with_mesh():
     model = cnf.ICNFModel(icnf, batchsize=64, epochs=2, mesh=mesh, key=jax.random.PRNGKey(1))
     result = model.fit(x)
     assert np.isfinite(result.stats["final_loss"])
+
+
+def test_probe_axis_sharding_parity():
+    """nprobes > 1 sharded over the mesh 'model' axis (cfg.probe_axis): the
+    trace-ensemble mean becomes a psum; results must equal the replicated
+    run bit-for-bit (same key -> same probes, only placement differs)."""
+    solver = SolverConfig(method="rk4", gradient="backprop", fixed_steps=8)
+    icnf_repl = cnf.ICNF.create(nvariables=2, nprobes=2, solver=solver)
+    icnf_shard = cnf.ICNF.create(
+        nvariables=2, nprobes=2, probe_axis="model", solver=solver
+    )
+    params = icnf_repl.init(jax.random.PRNGKey(0))
+    x = 0.4 * jax.random.normal(jax.random.PRNGKey(1), (32, 2))
+    key = jax.random.PRNGKey(2)
+
+    lp_repl, _, _ = cnf.inference(icnf_repl, Mode.TRAIN, x, params, key=key)
+
+    mesh = make_mesh(model=2)  # data=4 x model=2
+    xs, _ = shard_batch_arrays(mesh, x)
+    with jax.set_mesh(mesh):
+        lp_shard, _, _ = jax.jit(
+            lambda p, xx: cnf.inference(icnf_shard, Mode.TRAIN, xx, p, key=key),
+            in_shardings=(None, data_sharding(mesh)),
+        )(params, xs)
+    np.testing.assert_allclose(
+        np.asarray(lp_repl), np.asarray(lp_shard), rtol=1e-5, atol=1e-6
+    )

@@ -180,3 +180,24 @@ def test_table_input_fit():
 
     res2 = model.fit(_Tablish())
     assert np.isfinite(res2.stats["final_loss"])
+
+
+def test_opt_state_resume_is_exact(beta_fit):
+    """fit(params=, opt_state=) continues the exact optimizer trajectory:
+    one 2-epoch run == two chained 1-epoch runs (mid-train resume)."""
+    icnf, _m, _r, x = beta_fit
+    kw = dict(batchsize=0, key=jax.random.PRNGKey(5))
+    p0 = icnf.init(jax.random.PRNGKey(11))
+
+    two = cnf.ICNFModel(icnf, epochs=2, **kw).fit(x, params=p0)
+    one = cnf.ICNFModel(icnf, epochs=1, **kw).fit(x, params=p0)
+    resumed = cnf.ICNFModel(icnf, epochs=1, **kw).fit(
+        x, params=one.params, opt_state=one.opt_state
+    )
+    # identical data order (batchsize=0 -> single full batch; same model key
+    # stream) so the trajectories must agree to float tolerance
+    for a, b in zip(
+        jax.tree_util.tree_leaves(two.params),
+        jax.tree_util.tree_leaves(resumed.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)

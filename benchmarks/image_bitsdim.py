@@ -73,7 +73,10 @@ def main():
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--train-n", type=int, default=16384)
+    # 16384 overfits the 2.7M-param net hard (measured: eval bits/dim bottoms
+    # at ~step 12k then climbs while train loss keeps falling); 131072 gives
+    # gap +0.07 at 28k steps and still falling
+    ap.add_argument("--train-n", type=int, default=131072)
     ap.add_argument("--cosine", action="store_true",
                     help="cosine-decay the learning rate over --steps")
     ap.add_argument("--precision", default="default",

@@ -108,12 +108,31 @@ def _solve(
 ) -> Tuple[jax.Array, jax.Array]:
     cfg = icnf.config
     if eps is not None:
+        from .ops.pallas_adaptive import (
+            _scfg_tuple,
+            fused_adaptive_applicable,
+            fused_adaptive_tile,
+            fused_solve_dopri5,
+            stats_from_rows,
+        )
         from .ops.pallas_solve import (
             fused_solve_applicable,
             fused_solve_rk4,
             fused_solve_tile,
         )
 
+        if fused_adaptive_applicable(cfg, icnf.net, mode) and fused_adaptive_tile(
+            u0.shape[0]
+        ):
+            t_col = cfg.nz if not cfg.autonomous else None
+            # node-buffer capacity for the in-VMEM backward (see
+            # pallas_adaptive docstring; 64 >> the 4-40 accepted steps
+            # typical at rtol 1e-4 — overflow NaN-poisons gradients loudly)
+            u1, rows = fused_solve_dopri5(
+                u0, eps[0], ys, params, (t0, t1), cfg.nz, t_col,
+                _scfg_tuple(cfg.solver), 64,
+            )
+            return u1, stats_from_rows(rows, cfg.dtype)
         if fused_solve_applicable(cfg, icnf.net, mode) and fused_solve_tile(
             u0.shape[0], icnf.net.widths[1]
         ):

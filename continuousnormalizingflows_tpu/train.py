@@ -83,13 +83,16 @@ def _table_to_matrix(X) -> np.ndarray:
 class FitResult:
     """The reference's ``fitresult = (ps, st)`` + ``report`` (core_icnf.jl:52-57).
 
-    ``opt_state`` is the final optimizer state — feed it back to
-    ``fit(params=..., opt_state=...)`` for an exact mid-training resume."""
+    ``opt_state`` is the final optimizer state and ``key`` the advanced PRNG
+    key — feed both back to ``fit(params=..., opt_state=..., key=...)`` for an
+    *exact* mid-training resume (same probe/shuffle stream the longer run
+    would have drawn)."""
 
     params: Pytree
     history: List[float]
     stats: dict
     opt_state: Pytree = None
+    key: Optional[jax.Array] = None
 
 
 class ICNFModel:
@@ -155,12 +158,16 @@ class ICNFModel:
         Y=None,
         params: Optional[Pytree] = None,
         opt_state: Optional[Pytree] = None,
+        key: Optional[jax.Array] = None,
     ) -> FitResult:
         """Run the epochs x minibatch MLE loop (reference fit,
         core_icnf.jl:32-58).  ``X``: (n, nvariables); ``Y``: (n, nconditions)
         for conditional models.  Pass ``params`` (and optionally the saved
-        ``opt_state``) to warm-start — exact mid-training resume pairs with
-        ``utils.checkpoint`` (save/load both)."""
+        ``opt_state`` and the returned ``key``) to warm-start — exact
+        mid-training resume pairs with ``utils.checkpoint`` (save/load both);
+        without ``key=`` the resume restarts the probe/shuffle stream from the
+        constructor key (still valid training, just not bit-identical to the
+        uninterrupted run)."""
         icnf = self.icnf
         xs_all = jnp.asarray(_table_to_matrix(X), icnf.config.dtype)
         if xs_all.ndim != 2 or xs_all.shape[1] != icnf.config.nvariables:
@@ -178,7 +185,7 @@ class ICNFModel:
                 )
         n = xs_all.shape[0]
 
-        key = self.key
+        key = key if key is not None else self.key
         if params is None:
             key, k_init = jax.random.split(key)
             params = icnf.init(k_init)
@@ -247,16 +254,25 @@ class ICNFModel:
                 dt_final=float(sol_stats.dt_final),
             )
         return FitResult(
-            params=params, history=history, stats=stats, opt_state=opt_state
+            params=params, history=history, stats=stats, opt_state=opt_state,
+            key=key,
         )
 
     def transform(self, X, params: Pytree, Y=None) -> jax.Array:
         """TestMode densities ``exp(logp̂x)`` (reference transform,
-        core_icnf.jl:60-68)."""
+        core_icnf.jl:60-68).  Accepts a table (like fit), an ``(n, d)``
+        matrix, a single ``(d,)`` sample (the reference's VectorMode scoring
+        is a batch of 1 here), or a features-first ``(d, n)`` matrix — the
+        latter is transposed with a one-shot warning, the analogue of the
+        reference's per-column ``get_logp̂x`` fallback (``@warn maxlog=1``,
+        mlj_ext/core.jl:45-94)."""
+        from .dist import _shim_layout
+
         ys = Y if self._conditional else None
-        logpx, _augs, _nfe = inference(
-            self.icnf, Mode.TEST, jnp.asarray(X, self.icnf.config.dtype), params, ys=ys
-        )
+        xs = jnp.asarray(_table_to_matrix(X), self.icnf.config.dtype)
+        if xs.ndim == 2:
+            xs = _shim_layout(xs, self.icnf.config.nvariables)
+        logpx, _augs, _nfe = inference(self.icnf, Mode.TEST, xs, params, ys=ys)
         return jnp.exp(logpx)
 
     # -- persistence (reference MLJBase.save / machine(file),

@@ -81,6 +81,8 @@ def main():
                     help="cosine-decay the learning rate over --steps")
     ap.add_argument("--precision", default="default",
                     help="train MXU precision: default (bf16 passes) | highest")
+    ap.add_argument("--save", default=None,
+                    help="checkpoint path for the final params (pickle backend)")
     args = ap.parse_args()
     d = args.side * args.side
     print("device:", jax.devices()[0], "| d =", d, flush=True)
@@ -166,6 +168,11 @@ def main():
     print(f"\nFINAL: bits/dim {curve[-1][2]:.4f} vs true {true_bpd:.4f} "
           f"(gap {gap:+.4f} bits/dim) after {args.steps} steps "
           f"({time.perf_counter()-t0:.0f}s)", flush=True)
+    if args.save:
+        from continuousnormalizingflows_tpu.utils import save_checkpoint
+
+        save_checkpoint(args.save, jax.device_get(params), step=args.steps)
+        print(f"saved params to {args.save}", flush=True)
 
 
 if __name__ == "__main__":

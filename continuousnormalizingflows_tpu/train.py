@@ -22,6 +22,15 @@ TPU-first deviations (documented, deliberate):
 * one fused, jitted, donated train step (loss + grad + optimizer update);
   optional mesh sharding comes from
   :mod:`continuousnormalizingflows_tpu.parallel`.
+* ``steps_per_dispatch = k`` scans ``k`` optimizer steps inside ONE jitted
+  dispatch (the dataset stays device-resident; each scan step gathers its
+  minibatch by permutation indices).  On dispatch-latency-bound hosts this is
+  the difference between loop-timed and device-limited throughput
+  (PARITY.md: 0.9 M vs 3.4 M samples/s on the bench config).  The per-step
+  PRNG stream is *identical* for every ``k`` — a ``k = 8`` run is bit-equal
+  to a ``k = 1`` run — so exact resume keeps working.  The reference's whole
+  training loop is a single ``solve`` dispatch (mlj_ext/core_icnf.jl:51);
+  this is the TPU-first equivalent at controllable granularity.
 """
 
 from __future__ import annotations
@@ -108,6 +117,7 @@ class ICNFModel:
         log_every: int = 64,
         callback: Optional[Callable[[int, float], None]] = None,
         mesh=None,
+        steps_per_dispatch: int = 1,
     ) -> None:
         self.icnf = icnf
         self.optimizer = optimizer if optimizer is not None else default_optimizer()
@@ -117,6 +127,7 @@ class ICNFModel:
         self.log_every = log_every
         self.callback = callback
         self.mesh = mesh
+        self.steps_per_dispatch = int(steps_per_dispatch)
         self._conditional = icnf.config.conditioned
 
     # -- internals ---------------------------------------------------------
@@ -141,6 +152,57 @@ class ICNFModel:
 
             return shard_train_step(step, self.mesh, conditional)
         return jax.jit(step, donate_argnums=(0, 1))
+
+    def _make_block_step(self):
+        """k-steps-per-dispatch train block (``steps_per_dispatch > 1``).
+
+        ``lax.scan`` over a ``(k, batchsize)`` index block; the dataset rides
+        in as a jit argument (device-resident across dispatches, never a baked
+        constant).  The per-step ``key, k_step = split(key)`` happens inside
+        the scan in the same order as the per-step loop, so the probe/steer
+        stream — and therefore the trained parameters — are bit-identical for
+        every ``k`` (asserted in tests/test_train.py)."""
+        icnf, optimizer = self.icnf, self.optimizer
+        conditional = self._conditional
+
+        def block(params, opt_state, key, xs_all, ys_all, idx_block):
+            def body(carry, idx):
+                params, opt_state, key = carry
+                key, k_step = jax.random.split(key)
+                xb = jnp.take(xs_all, idx, axis=0)
+                yb = jnp.take(ys_all, idx, axis=0) if conditional else None
+
+                def loss_fn(p):
+                    return loss_with_stats(
+                        icnf, Mode.TRAIN, xb, p, key=k_step, ys=yb
+                    )
+
+                (l, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, key), (l, stats)
+
+            (params, opt_state, key), (losses, stats) = jax.lax.scan(
+                body, (params, opt_state, key), idx_block
+            )
+            last_stats = jax.tree_util.tree_map(lambda a: a[-1], stats)
+            return params, opt_state, key, losses, last_stats
+
+        if self.mesh is not None:
+            from .parallel.mesh import data_sharding, replicated
+
+            repl = replicated(self.mesh)
+            dsh = data_sharding(self.mesh)
+            return jax.jit(
+                block,
+                in_shardings=(repl, repl, repl, dsh,
+                              dsh if conditional else None, repl),
+                out_shardings=repl,
+                donate_argnums=(0, 1),
+            )
+        return jax.jit(block, donate_argnums=(0, 1))
 
     def _batches(self, key: jax.Array, n: int) -> np.ndarray:
         bs = self.batchsize
@@ -216,27 +278,61 @@ class ICNFModel:
         it = 0
         t_start = time.perf_counter()
         last_loss = float("nan")
-        for _epoch in range(self.epochs):
-            key, k_perm = jax.random.split(key)
-            for idx in self._batches(k_perm, n):
-                key, k_step = jax.random.split(key)
-                xb = xs_all[idx]
-                yb = ys_all[idx] if ys_all is not None else None
-                if batch_sharding is not None:
-                    xb = jax.device_put(xb, batch_sharding)
-                    if yb is not None:
-                        yb = jax.device_put(yb, batch_sharding)
-                params, opt_state, l, sol_stats = step_fn(
-                    params, opt_state, k_step, xb, yb
-                )
-                if it % self.log_every == 0:
-                    last_loss = float(l)
-                    history.append(last_loss)
-                    if self.callback is not None:
-                        self.callback(it, last_loss)
-                it += 1
-        if it:
-            last_loss = float(l)
+        spd = self.steps_per_dispatch
+        if spd > 1:
+            block_fn = self._make_block_step()
+            if self.mesh is not None:
+                from .parallel.mesh import shard_batch_arrays
+
+                xs_all, ys_all = shard_batch_arrays(self.mesh, xs_all, ys_all)
+            ys_arg = ys_all if self._conditional else jnp.zeros(
+                (n, 0), xs_all.dtype
+            )
+            for _epoch in range(self.epochs):
+                key, k_perm = jax.random.split(key)
+                batches = self._batches(k_perm, n)
+                for blk in range(0, batches.shape[0], spd):
+                    idx_block = jnp.asarray(batches[blk : blk + spd])
+                    params, opt_state, key, losses, sol_stats = block_fn(
+                        params, opt_state, key, xs_all, ys_arg, idx_block
+                    )
+                    k_done = idx_block.shape[0]
+                    logged = [
+                        j for j in range(k_done)
+                        if (it + j) % self.log_every == 0
+                    ]
+                    if logged:
+                        losses_h = np.asarray(losses)
+                        for j in logged:
+                            last_loss = float(losses_h[j])
+                            history.append(last_loss)
+                            if self.callback is not None:
+                                self.callback(it + j, last_loss)
+                    it += k_done
+            if it:
+                last_loss = float(losses[-1])
+        else:
+            for _epoch in range(self.epochs):
+                key, k_perm = jax.random.split(key)
+                for idx in self._batches(k_perm, n):
+                    key, k_step = jax.random.split(key)
+                    xb = xs_all[idx]
+                    yb = ys_all[idx] if ys_all is not None else None
+                    if batch_sharding is not None:
+                        xb = jax.device_put(xb, batch_sharding)
+                        if yb is not None:
+                            yb = jax.device_put(yb, batch_sharding)
+                    params, opt_state, l, sol_stats = step_fn(
+                        params, opt_state, k_step, xb, yb
+                    )
+                    if it % self.log_every == 0:
+                        last_loss = float(l)
+                        history.append(last_loss)
+                        if self.callback is not None:
+                            self.callback(it, last_loss)
+                    it += 1
+            if it:
+                last_loss = float(l)
         stats = {
             "iterations": it,
             "epochs": self.epochs,

@@ -1,0 +1,218 @@
+"""Real-image-data FFJORD/RNODE run: sklearn handwritten digits (1,797 real
+8x8 images, 64-d, 17 gray levels) with the standard quantized-image pipeline
+— uniform dequantization + logit transform + per-dim standardization — and
+test bits/dim under the dequantization bound.
+
+This closes the last gap in BASELINE config 5 ("MNIST-scale FFJORD"): the
+784-d smooth-image-mixture run (benchmarks/image_bitsdim.py) proves scale
+against an analytic density; this run proves the *real-data pattern* of the
+reference (fit samples, evaluate the fitted density — reference
+examples/usage.jl:60-127, test/ci_tests/regression_tests.jl:17-28) on actual
+images, where the yardsticks are a held-out test set and a fitted diagonal
+Gaussian baseline instead of a known pdf.
+
+    python benchmarks/digits_bitsdim.py                 # full run (TPU)
+    python benchmarks/digits_bitsdim.py --steps 300 --cpu   # smoke
+
+Reports train/test bits/dim each eval (overfitting monitor — the round-2
+lesson: small data + big net overfits silently), the Gaussian-baseline gap,
+and writes a generated-digit grid to --grid (PGM, no plotting deps).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if "--cpu" in sys.argv:  # must precede jax backend init (CLAUDE.md gotcha)
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import continuousnormalizingflows_tpu as cnf
+from continuousnormalizingflows_tpu.config import Mode, SolverConfig
+from continuousnormalizingflows_tpu.models.nets import MLP
+from continuousnormalizingflows_tpu.utils import datasets
+
+D = 64
+ALPHA = 0.05
+
+
+def build(hidden, train_precision):
+    cfg_train = cnf.ICNFConfig(
+        nvariables=D,
+        naugments=0,
+        lambda_1=0.01,  # RNODE regularization: straight trajectories keep
+        lambda_2=0.01,  # eval NFE down on the sharpened field
+        lambda_3=0.0,
+        steer_rate=0.0,
+        solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=24),
+    )
+    net = MLP((cfg_train.n_in, hidden, hidden, cfg_train.n_out),
+              precision=train_precision)
+    icnf_train = cnf.ICNF(config=cfg_train, net=net)
+    import dataclasses
+
+    cfg_eval = dataclasses.replace(
+        cfg_train, solver=SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4)
+    )
+    icnf_eval = cnf.ICNF(config=cfg_eval, net=MLP(net.widths, precision="highest"))
+    return icnf_train, icnf_eval
+
+
+def gaussian_baseline_bpd(y_train, ldj_test, y_test):
+    """Diagonal Gaussian fitted on train logits, scored on test — the
+    'did the flow learn anything' yardstick real data substitutes for the
+    analytic pdf."""
+    m = jnp.mean(y_train, axis=0)
+    v = jnp.var(y_train, axis=0) + 1e-6
+    logp = -0.5 * jnp.sum(
+        jnp.log(2 * jnp.pi * v) + (y_test - m) ** 2 / v, axis=-1
+    )
+    return float(jnp.mean(datasets.quantized_bits_per_dim(logp, ldj_test, D)))
+
+
+def write_pgm_grid(path, imgs_levels, cols=8):
+    """(n, 64) gray-level images -> one PGM grid file (no plotting deps)."""
+    n = imgs_levels.shape[0]
+    rows = (n + cols - 1) // cols
+    grid = np.zeros((rows * 9 + 1, cols * 9 + 1), dtype=np.uint8)
+    for i in range(n):
+        r, c = divmod(i, cols)
+        img = np.asarray(imgs_levels[i]).reshape(8, 8)
+        grid[r * 9 + 1 : r * 9 + 9, c * 9 + 1 : c * 9 + 9] = (
+            img * (255 / 16)
+        ).astype(np.uint8)
+    with open(path, "w") as f:
+        f.write(f"P2\n{grid.shape[1]} {grid.shape[0]}\n255\n")
+        for row in grid:
+            f.write(" ".join(str(int(v)) for v in row) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--weight-decay", type=float, default=1e-4)
+    ap.add_argument("--deq-draws", type=int, default=8,
+                    help="dequantization draws averaged at eval")
+    ap.add_argument("--precision", default="default")
+    ap.add_argument("--grid", default=None, help="PGM path for generated digits")
+    ap.add_argument("--save", default=None)
+    args = ap.parse_args()
+    print("device:", jax.devices()[0], flush=True)
+
+    # fixed shuffled split: 1500 train / 297 test
+    x_all = np.asarray(datasets.digits_data(), np.float32)
+    perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(42), len(x_all)))
+    x_train_i = jnp.asarray(x_all[perm[:1500]])
+    x_test_i = jnp.asarray(x_all[perm[1500:]])
+
+    # standardization constants from ONE train dequantization draw (a fixed
+    # diagonal affine layer of the model; its ldj enters the likelihood)
+    y0, _ = datasets.dequantize_logit(x_train_i, jax.random.PRNGKey(7), alpha=ALPHA)
+    m = jnp.mean(y0, axis=0)
+    s = jnp.std(y0, axis=0) + 1e-3
+    log_s_sum = float(jnp.sum(jnp.log(s)))
+
+    icnf, icnf_eval = build(args.hidden, args.precision)
+    params = icnf.init(jax.random.PRNGKey(0))
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e3:.0f} k | train {x_train_i.shape[0]} "
+          f"test {x_test_i.shape[0]}", flush=True)
+
+    lr = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(lr, weight_decay=args.weight_decay))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def run_chunk(params, opt_state, key):
+        def step(carry, _):
+            params, opt_state, key = carry
+            key, k_b, k_u, k_s = jax.random.split(key, 4)
+            idx = jax.random.randint(k_b, (args.batch,), 0, x_train_i.shape[0])
+            xb_i = jnp.take(x_train_i, idx, axis=0)
+            # fresh dequantization noise every step (itself a regularizer)
+            yb, _ = datasets.dequantize_logit(xb_i, k_u, alpha=ALPHA)
+            vb = (yb - m) / s
+            l, g = jax.value_and_grad(
+                lambda p: cnf.loss(icnf, Mode.TRAIN, vb, p, key=k_s)
+            )(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state, key), l
+
+        (params, opt_state, key), ls = jax.lax.scan(
+            step, (params, opt_state, key), jnp.arange(args.eval_every)
+        )
+        return params, opt_state, key, ls[-1]
+
+    @jax.jit
+    def eval_bpd(params, x_int, key):
+        def one(k):
+            y, ldj = datasets.dequantize_logit(x_int, k, alpha=ALPHA)
+            v = (y - m) / s
+            lp_v, _a, stats = cnf.inference(icnf_eval, Mode.TEST, v, params)
+            lp_y = lp_v - log_s_sum
+            return jnp.mean(datasets.quantized_bits_per_dim(lp_y, ldj, D)), stats.nfe
+
+        bpds, nfes = jax.vmap(one)(jax.random.split(key, args.deq_draws))
+        return jnp.mean(bpds), nfes[0]
+
+    # yardsticks
+    y_te, ldj_te = datasets.dequantize_logit(x_test_i, jax.random.PRNGKey(8),
+                                             alpha=ALPHA)
+    base_bpd = gaussian_baseline_bpd(y0, ldj_te, y_te)
+    print(f"diagonal-Gaussian baseline: {base_bpd:.4f} bits/dim "
+          f"(uniform model: {np.log2(17.0):.4f})", flush=True)
+
+    key = jax.random.PRNGKey(3)
+    k_ev = jax.random.PRNGKey(9)
+    bpd0, nfe0 = eval_bpd(params, x_test_i, k_ev)
+    print(f"step 0: test bits/dim {float(bpd0):.4f} NFE {int(nfe0)}", flush=True)
+    t0 = time.perf_counter()
+    done = 0
+    best = float(bpd0)
+    while done < args.steps:
+        params, opt_state, key, l = run_chunk(params, opt_state, key)
+        done += args.eval_every
+        bpd_te, nfe = eval_bpd(params, x_test_i, k_ev)
+        bpd_tr, _ = eval_bpd(params, x_train_i[:512], k_ev)
+        best = min(best, float(bpd_te))
+        print(
+            f"step {done}: loss {float(l):.2f} | train bpd {float(bpd_tr):.4f} "
+            f"| test bpd {float(bpd_te):.4f} (best {best:.4f}, gaussian "
+            f"{base_bpd:.4f}) | NFE {int(nfe)} | "
+            f"{done*args.batch/(time.perf_counter()-t0):,.0f} samples/s cum",
+            flush=True,
+        )
+
+    print(f"\nFINAL: test {float(bpd_te):.4f} bits/dim vs Gaussian baseline "
+          f"{base_bpd:.4f} (margin {base_bpd-float(bpd_te):+.4f}); train-test "
+          f"gap {float(bpd_te)-float(bpd_tr):+.4f} "
+          f"({time.perf_counter()-t0:.0f}s)", flush=True)
+
+    if args.grid:
+        gen = cnf.generate(icnf_eval, Mode.TEST, params,
+                           jax.random.PRNGKey(12), 32)
+        y_gen = gen * s + m
+        write_pgm_grid(args.grid, datasets.logit_to_levels(y_gen, alpha=ALPHA))
+        print(f"generated grid -> {args.grid}", flush=True)
+    if args.save:
+        from continuousnormalizingflows_tpu.utils import save_checkpoint
+
+        save_checkpoint(args.save, jax.device_get(params), step=args.steps)
+
+
+if __name__ == "__main__":
+    main()

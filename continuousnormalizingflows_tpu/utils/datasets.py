@@ -160,3 +160,59 @@ def smooth_image_mixture_logpdf(x: jax.Array, side: int = 28, ncomp: int = 3) ->
 def nats_to_bits_per_dim(nll_nats: jax.Array, d: int) -> jax.Array:
     """bits/dim = NLL_nats / (d * ln 2) — the image-modeling convention."""
     return nll_nats / (d * 0.6931471805599453)
+
+
+# ---------------------------------------------------------------------------
+# real image data: sklearn handwritten digits (offline-available), with the
+# standard quantized-image preprocessing (uniform dequantization + logit)
+# ---------------------------------------------------------------------------
+
+
+def digits_data() -> "np.ndarray":
+    """The 1,797 real 8x8 handwritten-digit images (UCI via sklearn, offline),
+    as an (n, 64) integer-valued float array with 17 gray levels {0..16}.
+    This is BASELINE config 5's real-data stand-in at reduced resolution —
+    the reference's fit-real-samples pattern
+    (reference examples/usage.jl:60-127, test/ci_tests/regression_tests.jl:17-28)."""
+    from sklearn.datasets import load_digits
+
+    return load_digits().data
+
+
+DIGITS_LEVELS = 17  # gray levels in the digits data: {0, 1, ..., 16}
+
+
+def dequantize_logit(x_int: jax.Array, key: jax.Array, levels: int = DIGITS_LEVELS,
+                     alpha: float = 0.05):
+    """Uniform dequantization + logit transform (the FFJORD/RealNVP image
+    preprocessing): ``z = (x + u)/levels`` with ``u ~ U(0,1)`` per pixel, then
+    ``y = logit(alpha + (1-2 alpha) z)``.  Returns ``(y, ldj)`` where ``ldj``
+    is the per-sample ``sum log dy/dz`` needed to express model likelihoods in
+    the quantized data space."""
+    u = jax.random.uniform(key, x_int.shape, dtype=jnp.float32)
+    z = (x_int + u) / levels
+    s = alpha + (1.0 - 2.0 * alpha) * z
+    y = jnp.log(s) - jnp.log1p(-s)
+    ldj = jnp.sum(
+        jnp.log(1.0 - 2.0 * alpha) - jnp.log(s) - jnp.log1p(-s), axis=-1
+    )
+    return y, ldj
+
+
+def logit_to_levels(y: jax.Array, levels: int = DIGITS_LEVELS,
+                    alpha: float = 0.05) -> jax.Array:
+    """Inverse of :func:`dequantize_logit` back to gray levels [0, levels-1]
+    (for rendering generated samples)."""
+    s = jax.nn.sigmoid(y)
+    z = (s - alpha) / (1.0 - 2.0 * alpha)
+    return jnp.clip(z * levels, 0.0, levels - 1.0)
+
+
+def quantized_bits_per_dim(logp_y: jax.Array, ldj: jax.Array, d: int,
+                           levels: int = DIGITS_LEVELS) -> jax.Array:
+    """bits/dim of the *quantized* data under the dequantization bound:
+    ``log P(x) >= E_u[log p_z] - d log(levels)`` (Jensen), with
+    ``log p_z = log p_y + ldj``.  Lower is better; ``log2(levels)`` is the
+    0-bits reference of a uniform model."""
+    nll_z = -(logp_y + ldj)
+    return nll_z / (d * 0.6931471805599453) + jnp.log2(float(levels))

@@ -22,8 +22,8 @@ from continuousnormalizingflows_tpu.config import Mode, SolverConfig
 from continuousnormalizingflows_tpu.models.nets import MLP
 from continuousnormalizingflows_tpu.utils import datasets
 
-SIDE = 4
-D = SIDE * SIDE
+SIDE = 8  # mid-scale: close enough to the measured 784-d curve that the
+D = SIDE * SIDE  # round-2 overfitting regression would have been caught here
 
 
 @pytest.fixture(scope="module")
@@ -37,10 +37,10 @@ def image_fit():
         steer_rate=0.0,
         solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=24),
     )
-    net = MLP((cfg.n_in, 64, 64, cfg.n_out))
+    net = MLP((cfg.n_in, 128, 128, cfg.n_out))
     icnf = cnf.ICNF(config=cfg, net=net)
 
-    x = datasets.smooth_image_mixture(jax.random.PRNGKey(1), 4096, SIDE, 3)
+    x = datasets.smooth_image_mixture(jax.random.PRNGKey(1), 8192, SIDE, 3)
     x_eval = datasets.smooth_image_mixture(jax.random.PRNGKey(2), 512, SIDE, 3)
     true_bpd = float(
         datasets.nats_to_bits_per_dim(
@@ -52,8 +52,9 @@ def image_fit():
         icnf,
         optimizer=cnf.default_optimizer(clip_norm=1.0),
         batchsize=256,
-        epochs=19,  # 16 iters/epoch -> ~300 steps
+        epochs=19,  # 32 iters/epoch -> ~600 steps
         key=jax.random.PRNGKey(3),
+        steps_per_dispatch=32,  # one dispatch per epoch (and spd coverage at scale)
     )
 
     # exact-trace eval twin (adaptive fp32 at reference tolerances)
@@ -77,11 +78,13 @@ def test_bits_per_dim_converges(image_fit):
     _icnf, _params, true_bpd, bpd_init, bpd_final = image_fit
     gap_init = bpd_init - true_bpd
     gap_final = bpd_final - true_bpd
-    # measured on this config: init gap ~2.5, final ~0.32 after ~300 steps
-    # (benchmarks/image_bitsdim.py --side 4); thresholds leave ~2x headroom
-    assert gap_init > 1.0, (bpd_init, true_bpd)  # task is actually nontrivial
-    assert gap_final < 0.65, (bpd_final, true_bpd)
-    assert gap_final < 0.35 * gap_init, (gap_final, gap_init)
+    # measured on this config (benchmarks/image_bitsdim.py --side 8): init
+    # gap 3.31, curve 200/400/600 steps -> 0.45/0.32/0.27; thresholds leave
+    # ~1.5x headroom on the final and would catch the round-2 overfitting
+    # regression (which ran the eval gap to 1.8)
+    assert gap_init > 1.5, (bpd_init, true_bpd)  # task is actually nontrivial
+    assert gap_final < 0.40, (bpd_final, true_bpd)
+    assert gap_final < 0.15 * gap_init, (gap_final, gap_init)
 
 
 def test_generated_images_match_moments(image_fit):

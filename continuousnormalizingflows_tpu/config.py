@@ -128,11 +128,19 @@ class SolverConfig:
     safety: float = 0.9
     max_factor: float = 10.0
     min_factor: float = 0.2
+    # Maximum multistep order for method="abm" (the history-ring length).
+    # The solver adapts order 1..abm_order per step, VCABM-style (reference
+    # VCABM adapts 1-12, icnf.jl:89).  Measured (PARITY.md): at the reference
+    # tolerance 1e-4 order 4 suffices; at rtol <= 1e-6 a capped order-4
+    # method's step count blows up — raise to 8 for tight tolerances.
+    abm_order: int = 4
 
     def __post_init__(self) -> None:
         adaptive = ("dopri5", "tsit5", "abm")
         if self.method not in adaptive + ("rk4", "euler"):
             raise ValueError(f"unknown ODE method {self.method!r}")
+        if not 1 <= self.abm_order <= 8:
+            raise ValueError(f"abm_order must be in [1, 8], got {self.abm_order}")
         if self.gradient not in ("adjoint", "quadrature", "backprop"):
             raise ValueError(f"unknown gradient mode {self.gradient!r}")
         if self.gradient == "backprop" and self.method in adaptive:
@@ -176,6 +184,17 @@ class ICNFConfig:
     # parallelism.  Requires an enclosing `jax.set_mesh(mesh)` whose mesh has
     # this axis (parallel.make_mesh's "model" axis works).  None = replicated.
     probe_axis: Any = None
+    # Exact-trace sweep controls for nets WITHOUT an analytic trace (deep /
+    # from_flax dynamics; the reference's icnf_jacobian covers any nn,
+    # utils.jl:12-88, at O(nz) AD sweeps):
+    #   exact_chunk — accumulate the Jacobian diagonal in blocks of this many
+    #     sweeps (peak memory (chunk, batch, nz) instead of (nz, batch, nz);
+    #     mandatory at image scale).  0 = unchunked full sweep stack.
+    #   sweep_axis — mesh axis name to shard the sweep ensemble over (the
+    #     EXACT analogue of probe_axis): each rank runs nz/ranks sweeps,
+    #     GSPMD inserts the trace psum.  Requires an enclosing jax.set_mesh.
+    exact_chunk: int = 0
+    sweep_axis: Any = None
     steer_rate: float = 0.1
     lambda_1: float = 0.01  # kinetic-energy weight (RNODE)
     lambda_2: float = 0.01  # Jacobian-Frobenius weight (RNODE)

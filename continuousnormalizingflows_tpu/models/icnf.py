@@ -69,6 +69,8 @@ class ICNF:
         probe_dist: ProbeDist = ProbeDist.GAUSSIAN,
         nprobes: int = 1,
         probe_axis=None,
+        exact_chunk: int = 0,
+        sweep_axis=None,
         steer_rate: float = 0.1,
         lambda_1: float = 0.01,
         lambda_2: float = 0.01,
@@ -94,6 +96,8 @@ class ICNF:
             probe_dist=probe_dist,
             nprobes=nprobes,
             probe_axis=probe_axis,
+            exact_chunk=exact_chunk,
+            sweep_axis=sweep_axis,
             steer_rate=steer_rate,
             lambda_1=lambda_1,
             lambda_2=lambda_2,

@@ -415,15 +415,59 @@ def make_augmented_dynamics(
             # each sweep is one full-batch matmul chain, so the MXU stays busy
             # (vs the reference's per-sample Jacobian stacks, utils.jl:12-88).
             dz, lin = jax.linearize(g, z)
-            basis = jnp.eye(nz, dtype=z.dtype)
-            jcols = jax.vmap(lambda e: lin(jnp.broadcast_to(e, z.shape)))(basis)
-            # jcols[i, b, j] = ∂g_j/∂z_i ; divergence = Σ_i J[b, i, i]
-            div = jnp.einsum("ibi->b", jcols)
-            if compute_reg_j:
-                # exact Frobenius norm — available for free in exact mode
-                reg_j = jnp.sqrt(jnp.sum(jnp.square(jcols), axis=(0, 2)))
+            if cfg.exact_chunk == 0 and cfg.sweep_axis is None:
+                basis = jnp.eye(nz, dtype=z.dtype)
+                jcols = jax.vmap(lambda e: lin(jnp.broadcast_to(e, z.shape)))(basis)
+                # jcols[i, b, j] = ∂g_j/∂z_i ; divergence = Σ_i J[b, i, i]
+                div = jnp.einsum("ibi->b", jcols)
+                if compute_reg_j:
+                    # exact Frobenius norm — available for free in exact mode
+                    reg_j = jnp.sqrt(jnp.sum(jnp.square(jcols), axis=(0, 2)))
+                else:
+                    reg_j = jnp.zeros((batch,), u.dtype)
             else:
-                reg_j = jnp.zeros((batch,), u.dtype)
+                # Chunked/sharded sweep for nets without an analytic trace at
+                # scale: accumulate the diagonal (and Frobenius sum) block by
+                # block so peak memory is (chunk, batch, nz), not
+                # (nz, batch, nz) — at d = 784 the full stack is the
+                # difference between 51 MB and 10 GB per dynamics eval.  With
+                # ``cfg.sweep_axis`` the basis block is sharded over the named
+                # mesh axis (the EXACT analogue of ``probe_axis``): each rank
+                # runs its share of the sweeps, GSPMD inserts the psum.
+                chunk = cfg.exact_chunk if cfg.exact_chunk > 0 else nz
+                chunk = min(chunk, nz)
+                nblocks = -(-nz // chunk)
+                iota = jnp.arange(nz)
+
+                def sweep_block(carry, o):
+                    div_acc, fro_acc = carry
+                    idx = o + jnp.arange(chunk)
+                    valid = (idx < nz).astype(z.dtype)
+                    idx_c = jnp.minimum(idx, nz - 1)
+                    basis = (idx_c[:, None] == iota[None, :]).astype(z.dtype)
+                    basis = basis * valid[:, None]  # overrun rows contribute 0
+                    if cfg.sweep_axis is not None:
+                        basis = jax.lax.with_sharding_constraint(
+                            basis, jax.sharding.PartitionSpec(cfg.sweep_axis)
+                        )
+                    jrows = jax.vmap(
+                        lambda e: lin(jnp.broadcast_to(e, z.shape))
+                    )(basis)  # (chunk, batch, nz): row c = J^T e_{idx_c}
+                    # diagonal entries via the same one-hot rows (fuses into
+                    # the producing matmul; no dynamic gather)
+                    div_acc = div_acc + jnp.einsum("cbj,cj->b", jrows, basis)
+                    if compute_reg_j:
+                        fro_acc = fro_acc + jnp.sum(
+                            jnp.square(jrows), axis=(0, 2)
+                        )
+                    return (div_acc, fro_acc), None
+
+                zero = jnp.zeros((batch,), u.dtype)
+                (div, fro), _ = jax.lax.scan(
+                    sweep_block, (zero, zero),
+                    jnp.arange(nblocks, dtype=jnp.int32) * chunk,
+                )
+                reg_j = jnp.sqrt(fro) if compute_reg_j else zero
         elif estimator is TraceEstimator.HUTCH_VJP:
             # Hutchinson with reverse-mode probe: ε^T J via one shared forward
             # + one VJP per probe (reference default LuxVecJacMatrixMode,

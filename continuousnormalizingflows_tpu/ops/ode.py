@@ -311,42 +311,57 @@ def odeint_dopri5(
 # variable-step Adams-Bashforth-Moulton PECE (the reference's solver class)
 # ---------------------------------------------------------------------------
 
-# 3-point Gauss-Legendre on [-1, 1]: exact for polynomials to degree 5, which
-# covers every Lagrange basis polynomial used below (degree <= 3)
-_GL3 = ((-0.7745966692414834, 5 / 9), (0.0, 8 / 9), (0.7745966692414834, 5 / 9))
+# 5-point Gauss-Legendre on [-1, 1]: exact for polynomials to degree 9, which
+# covers every Lagrange basis polynomial used below (degree <= _ABM_MAX - 1)
+_GL5 = (
+    (-0.9061798459386640, 0.23692688505618908),
+    (-0.5384693101056831, 0.47862867049936647),
+    (0.0, 0.5688888888888889),
+    (0.5384693101056831, 0.47862867049936647),
+    (0.9061798459386640, 0.23692688505618908),
+)
 
 # Milne error factors |C_AM / (C_AB - C_AM)| for the k-step pair on a uniform
-# grid (k = 1..4), doubled for conservatism: on variable-step grids the
+# grid (k = 1..8: 1/2, 1/6, 1/10, 19/270, 27/251, 863/9975, 2750/38174,
+# 67906/1103970), doubled for conservatism: on variable-step grids the
 # uniform-grid constants under-estimate (measured: global error tracked
 # ~20x tol on an oscillator; with the 2x margin it tracks ~5-8x, matching
 # what dopri5-class local error control delivers)
-_MILNE = (1.0, 1 / 3, 0.2, 19 / 135)
+_MILNE = (1.0, 1 / 3, 0.2, 19 / 135, 27 / 251 * 2, 863 / 9975 * 2,
+          2750 / 38174 * 2, 67906 / 1103970 * 2)
 
-_ABM_K = 4  # history length == max order
+_ABM_MAX = 8  # hard cap on the history ring (reference VCABM: order 1-12)
 
 
 def _lagrange_quad_weights(taus: list, a, b) -> list:
     """``w_j = ∫_a^b l_j(s) ds`` for the Lagrange basis on nodes ``taus``
-    (python list of traced scalars; static count).  Via GL3 — exact."""
+    (python list of traced scalars; static count).  Via GL5 — exact.
+
+    Division is guarded against coincident nodes: during order buildup the
+    ring's stale slots duplicate ``t0``; weights built from them are garbage
+    but must be *finite* garbage (they are masked by the caller's validity
+    flags — an Inf/NaN would leak through ``where``)."""
     mid, half = 0.5 * (a + b), 0.5 * (b - a)
     ws = []
     for j, tj in enumerate(taus):
         acc = 0.0
-        for xi, om in _GL3:
+        for xi, om in _GL5:
             s = mid + half * xi
             lj = 1.0
             for m, tm in enumerate(taus):
                 if m != j:
-                    lj = lj * (s - tm) / (tj - tm)
+                    d = tj - tm
+                    d = jnp.where(d == 0, jnp.ones_like(d), d)
+                    lj = lj * (s - tm) / d
             acc = acc + om * lj
         ws.append(half * acc)
     return ws
 
 
-def _abm_weights_branch(k: int, ts_h, t_new):
+def _abm_weights_order(k: int, K: int, ts_h, t_new):
     """Padded (pred (K,), corr_new scalar, corr_hist (K,), milne scalar) for a
-    *static* history count ``k``.  Predictor: k history nodes (order k);
-    corrector: the new node + the k-1 (k>1: order k) most recent."""
+    *static* order ``k``.  Predictor: k history nodes (order k); corrector:
+    the new node + the k-1 (k>1: order k) most recent."""
     t = ts_h[0]
     taus = [ts_h[i] for i in range(k)]
     w_pred = _lagrange_quad_weights(taus, t, t_new)
@@ -356,7 +371,7 @@ def _abm_weights_branch(k: int, ts_h, t_new):
 
     pad = lambda ws: jnp.stack(
         [jnp.asarray(ws[i], jnp.float32) if i < len(ws) else jnp.float32(0.0)
-         for i in range(_ABM_K)]
+         for i in range(K)]
     )
     return (
         pad(w_pred),
@@ -364,6 +379,25 @@ def _abm_weights_branch(k: int, ts_h, t_new):
         pad(w_corr[1:]),
         jnp.float32(_MILNE[k - 1]),
     )
+
+
+def _abm_weights_branch3(k: int, K: int, ts_h, t_new):
+    """Weights for the three candidate orders ``{k-1, k, k+1}`` (clipped to
+    [1, K]) as stacked (3, ...) arrays plus a (3,) validity mask — the
+    variable-coefficient analogue of VCABM's order-selection triple."""
+    outs = []
+    for j in (k - 1, k, k + 1):
+        if 1 <= j <= K:
+            wp, wcn, wch, mil = _abm_weights_order(j, K, ts_h, t_new)
+            outs.append((wp, wcn, wch, mil, jnp.float32(1.0)))
+        else:
+            outs.append((
+                jnp.zeros((K,), jnp.float32), jnp.float32(0.0),
+                jnp.zeros((K,), jnp.float32), jnp.float32(1.0),
+                jnp.float32(0.0),
+            ))
+    stack = lambda i: jnp.stack([o[i] for o in outs])
+    return stack(0), stack(1), stack(2), stack(3), stack(4)
 
 
 def _hist_dot(ws: jax.Array, f_hist: Pytree) -> Pytree:
@@ -385,82 +419,130 @@ def odeint_abm(
     cfg: SolverConfig,
     error_weight: Pytree = None,
 ) -> Tuple[Pytree, "SolverStats"]:
-    """Variable-step Adams-Bashforth-Moulton PECE, order building 1 → 4.
+    """Variable-step, variable-ORDER Adams-Bashforth-Moulton PECE — the
+    reference's solver class (VCABM, adaptive order *and* step, reference
+    ``src/core/icnf.jl:89``) at ~2 new f-evals per step vs 6 per dopri5 trial.
 
-    The reference's default solver is VCABM — adaptive-order multistep Adams
-    (reference ``src/core/icnf.jl:89``) at ~2 new f-evals per step vs 6 for a
-    dopri5 trial.  A full variable-*order* state machine maps poorly onto XLA
-    (SURVEY.md §7), so this is the fixed-max-order TPU-native middle ground:
+    TPU-native design (static shapes; no VCABM divided-difference state
+    machine):
 
-    * history = ring of the last 4 ``(t, f)`` pairs (static shapes);
+    * history = ring of the last ``K = cfg.abm_order`` ``(t, f)`` pairs;
     * integration weights recomputed each step from the actual node times via
-      Lagrange-basis GL3 quadrature (the variable-coefficient part of VCABM)
+      Lagrange-basis GL5 quadrature (the variable-coefficient part of VCABM)
       — a handful of scalar ops, negligible next to one dynamics eval;
     * PECE: predict (Adams-Bashforth over history), evaluate, correct
       (Adams-Moulton incl. the new node), evaluate — the 2nd eval seeds the
       history, so the method pays exactly 2 f-evals per trial step;
+    * **order adaptation**: each step also forms the order k-1 and k+1
+      predictor/corrector pairs from the same history and the shared
+      ``f_pred`` (no extra f-evals — only K-length reductions) and their
+      Milne error estimates; on accept, the order moves to whichever of
+      {k-1, k, k+1} has the smallest error ratio (Shampine-style selection;
+      decrease is preferred on ties, matching VCABM's bias toward stability),
+      never exceeding the available history length;
     * Milne device for the error estimate (predictor-corrector difference),
-      same PI-style controller and loud NaN-poison policy as dopri5 above;
-      growth is clamped to 2x per step (multistep stability needs bounded
-      step ratios, unlike one-step RK).
+      same controller family and loud NaN-poison policy as dopri5 above, with
+      the exponent ``1/(order+1)`` of the *selected* order; growth is clamped
+      to 2x per step (multistep stability needs bounded step ratios, unlike
+      one-step RK).
 
     On smooth trained CNF fields this trades more (cheaper) steps for a lower
-    NFE than dopri5 — measured A/B in benchmarks/abm_ab.py / PARITY.md.
+    NFE than dopri5; the high orders pay off at tight tolerances where a
+    fixed order-4 method's step count blows up — measured A/B at rtol
+    {1e-4, 1e-6} in benchmarks/abm_ab.py / PARITY.md.
     """
+    K = int(getattr(cfg, "abm_order", 4))
+    assert 1 <= K <= _ABM_MAX
     tdt = _time_dtype(y0)
     t0 = jnp.asarray(t0, tdt)
     t1 = jnp.asarray(t1, tdt)
     span = t1 - t0
     direction = jnp.sign(span)
     tiny = jnp.asarray(1e-12, tdt)
+    inf = jnp.float32(jnp.inf)
 
     f0 = f(t0, y0, args)
     dt_init = span * jnp.asarray(cfg.dt0, tdt)
 
-    ts_h0 = jnp.full((_ABM_K,), t0, tdt)
+    ts_h0 = jnp.full((K,), t0, tdt)
     fs_h0 = jax.tree_util.tree_map(
-        lambda l: jnp.zeros((_ABM_K,) + l.shape, l.dtype).at[0].set(l), f0
+        lambda l: jnp.zeros((K,) + l.shape, l.dtype).at[0].set(l), f0
     )
 
     def cond(state):
-        (t, _y, _dt, _ts, _fs, _nh, nfe, steps, nacc, done) = state
+        (t, _y, _dt, _ts, _fs, _nh, _ord, nfe, steps, nacc, done) = state
         return jnp.logical_and(jnp.logical_not(done), steps < cfg.max_steps)
 
     def body(state):
-        (t, y, dt, ts_h, fs_h, n_h, nfe, steps, nacc, _done) = state
+        (t, y, dt, ts_h, fs_h, n_h, order, nfe, steps, nacc, _done) = state
         remaining = t1 - t
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
         t_new = t + dt_c
 
-        w_pred, wc_new, wc_hist, milne = lax.switch(
-            jnp.clip(n_h - 1, 0, _ABM_K - 1),
-            [functools.partial(_abm_weights_branch, k) for k in range(1, _ABM_K + 1)],
+        w_pred3, wc_new3, wc_hist3, milne3, valid3 = lax.switch(
+            jnp.clip(order - 1, 0, K - 1),
+            [functools.partial(_abm_weights_branch3, k, K)
+             for k in range(1, K + 1)],
             ts_h,
             t_new,
         )
 
-        y_pred = jax.tree_util.tree_map(
-            lambda a, b: a + b, y, _hist_dot(w_pred, fs_h)
+        # predictor at the CURRENT order; its f-eval is shared by all three
+        # candidate orders (the standard ODE113/VCABM economy)
+        y_pred_mid = jax.tree_util.tree_map(
+            lambda a, b: a + b, y, _hist_dot(w_pred3[1], fs_h)
         )
-        f_pred = f(t_new, y_pred, args)
-        corr_inc = _hist_dot(wc_hist, fs_h)
-        y_corr = jax.tree_util.tree_map(
-            lambda yl, fl, cl: yl + wc_new.astype(fl.dtype) * fl + cl,
-            y, f_pred, corr_inc,
+        f_pred = f(t_new, y_pred_mid, args)
+
+        def pc_ratio(i, y_pred):
+            corr_inc = _hist_dot(wc_hist3[i], fs_h)
+            y_corr = jax.tree_util.tree_map(
+                lambda yl, fl, cl: yl + wc_new3[i].astype(fl.dtype) * fl + cl,
+                y, f_pred, corr_inc,
+            )
+            err = jax.tree_util.tree_map(
+                lambda a, b: milne3[i].astype(a.dtype) * (a - b), y_corr, y_pred
+            )
+            r = _rms_error_ratio(err, y, y_corr, cfg.rtol, cfg.atol,
+                                 error_weight)
+            return y_corr, r
+
+        y_pred_lo = jax.tree_util.tree_map(
+            lambda a, b: a + b, y, _hist_dot(w_pred3[0], fs_h)
         )
-        err = jax.tree_util.tree_map(
-            lambda a, b: milne.astype(a.dtype) * (a - b), y_corr, y_pred
+        y_pred_hi = jax.tree_util.tree_map(
+            lambda a, b: a + b, y, _hist_dot(w_pred3[2], fs_h)
         )
-        ratio = _rms_error_ratio(err, y, y_corr, cfg.rtol, cfg.atol, error_weight)
+        _c_lo, r_lo = pc_ratio(0, y_pred_lo)
+        y_corr, ratio = pc_ratio(1, y_pred_mid)
+        _c_hi, r_hi = pc_ratio(2, y_pred_hi)
+        # invalid candidates never win: order-0 doesn't exist; order k+1
+        # needs k+1 *distinct* history nodes before its weights mean anything
+        r_lo = jnp.where(valid3[0] > 0, r_lo, inf)
+        r_hi = jnp.where(
+            jnp.logical_and(valid3[2] > 0, n_h >= order + 1), r_hi, inf
+        )
         accept = ratio <= 1.0
 
         # PECE second evaluate: the stored history derivative is f at the
         # *corrected* solution
         f_corr = f(t_new, y_corr, args)
 
-        inv_ord = 1.0 / (jnp.minimum(n_h, _ABM_K).astype(jnp.float32) + 1.0)
+        # order selection (applied on accept only)
+        dec = r_lo <= ratio
+        inc = jnp.logical_and(r_hi < ratio, jnp.logical_not(dec))
+        nh_acc = jnp.minimum(n_h + 1, K)
+        ord_acc = jnp.clip(
+            order - dec.astype(jnp.int32) + inc.astype(jnp.int32), 1, nh_acc
+        )
+        ord_next = jnp.where(accept, ord_acc, order)
+        ratio_sel = jnp.where(
+            accept, jnp.where(dec, r_lo, jnp.where(inc, r_hi, ratio)), ratio
+        )
+
+        inv_ord = 1.0 / (ord_next.astype(jnp.float32) + 1.0)
         factor = jnp.clip(
-            cfg.safety * jnp.power(jnp.maximum(ratio, 1e-10), -inv_ord),
+            cfg.safety * jnp.power(jnp.maximum(ratio_sel, 1e-10), -inv_ord),
             cfg.min_factor,
             2.0,  # multistep stability: bounded step-ratio growth
         ).astype(tdt)
@@ -478,16 +560,16 @@ def odeint_abm(
         fs_out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), fs_acc, fs_h
         )
-        nh_out = jnp.where(accept, jnp.minimum(n_h + 1, _ABM_K), n_h)
+        nh_out = jnp.where(accept, nh_acc, n_h)
         done = jnp.logical_and(
             accept, jnp.abs(t1 - t_out) <= tiny * jnp.maximum(jnp.abs(t1), 1.0)
         )
-        return (t_out, y_out, dt_next, ts_out, fs_out, nh_out, nfe + 2,
-                steps + 1, nacc + accept.astype(jnp.int32), done)
+        return (t_out, y_out, dt_next, ts_out, fs_out, nh_out, ord_next,
+                nfe + 2, steps + 1, nacc + accept.astype(jnp.int32), done)
 
     state0 = (t0, y0, dt_init, ts_h0, fs_h0, jnp.int32(1), jnp.int32(1),
-              jnp.int32(0), jnp.int32(0), jnp.asarray(False))
-    (_t, y1, dt_f, _ts, _fs, _nh, nfe, steps, nacc, done) = lax.while_loop(
+              jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.asarray(False))
+    (_t, y1, dt_f, _ts, _fs, _nh, _ord, nfe, steps, nacc, done) = lax.while_loop(
         cond, body, state0
     )
     y1 = jax.tree_util.tree_map(

@@ -296,3 +296,79 @@ def test_cond_layer_wrapper():
     w2 = CondLayer(MLP((4, 8, 8, 3)), jnp.float32(0.25))
     assert w2.n_in == 3
     assert w2.apply(w2.init(jax.random.PRNGKey(2)), x).shape == (4, 3)
+
+
+class TestChunkedExactSweep:
+    """Chunked / mesh-sharded exact-trace sweeps for nets without an analytic
+    trace (cfg.exact_chunk / cfg.sweep_axis) — the scaling path for
+    deep/from_flax dynamics (reference icnf_jacobian covers any nn,
+    utils.jl:12-88)."""
+
+    def _make(self, **kw):
+        from continuousnormalizingflows_tpu.models.nets import MLP
+
+        cfg = ICNFConfig(
+            nvariables=6, naugments=0, lambda_3=0.0,
+            trace=TraceEstimator.EXACT, **kw,
+        )
+        # 3 hidden layers -> no analytic trace; forces the generic sweep
+        net = MLP((cfg.n_in, 32, 32, 32, cfg.n_out))
+        icnf = ICNF(config=cfg, net=net)
+        return cfg, net, icnf
+
+    @pytest.mark.parametrize("chunk", [1, 4, 7, 64])
+    def test_chunk_matches_full_sweep(self, chunk):
+        cfg_full, net, icnf = self._make()
+        cfg_chunk, _n2, _i2 = self._make(exact_chunk=chunk)
+        params = icnf.init(jax.random.PRNGKey(0))
+        u = jax.random.normal(jax.random.PRNGKey(1), (8, cfg_full.state_dim))
+
+        f_full = make_augmented_dynamics(cfg_full, net, Mode.TEST)
+        f_chunk = make_augmented_dynamics(cfg_chunk, net, Mode.TEST)
+        du_f = f_full(0.3, u, {"params": params})
+        du_c = f_chunk(0.3, u, {"params": params})
+        np.testing.assert_allclose(
+            np.asarray(du_f), np.asarray(du_c), rtol=1e-5, atol=1e-6
+        )
+
+    def test_chunk_exact_frobenius_matches(self):
+        # TRAIN mode with the EXACT estimator computes the exact Frobenius
+        # regularizer from the same sweeps — must survive chunking
+        cfg_full, net, icnf = self._make()
+        cfg_chunk, _n, _i = self._make(exact_chunk=4)
+        params = icnf.init(jax.random.PRNGKey(0))
+        u = jax.random.normal(jax.random.PRNGKey(1), (8, cfg_full.state_dim))
+        du_f = make_augmented_dynamics(cfg_full, net, Mode.TRAIN)(
+            0.3, u, {"params": params}
+        )
+        du_c = make_augmented_dynamics(cfg_chunk, net, Mode.TRAIN)(
+            0.3, u, {"params": params}
+        )
+        assert float(jnp.max(jnp.abs(du_f[:, -1]))) > 1e-3  # reg_j is live
+        np.testing.assert_allclose(
+            np.asarray(du_f), np.asarray(du_c), rtol=1e-5, atol=1e-6
+        )
+
+    def test_sweep_axis_mesh_parity(self):
+        """Sweeps sharded over the 8-device mesh 'model' axis match the
+        replicated run (GSPMD inserts the trace psum)."""
+        from continuousnormalizingflows_tpu.parallel.mesh import make_mesh
+
+        cfg_plain, net, icnf = self._make()
+        cfg_shard, _n, _i = self._make(sweep_axis="model", exact_chunk=0)
+        params = icnf.init(jax.random.PRNGKey(0))
+        u = jax.random.normal(jax.random.PRNGKey(1), (16, cfg_plain.state_dim))
+
+        du_plain = make_augmented_dynamics(cfg_plain, net, Mode.TEST)(
+            0.3, u, {"params": params}
+        )
+        mesh = make_mesh(model=2)
+        with jax.set_mesh(mesh):
+            du_shard = jax.jit(
+                lambda uu, p: make_augmented_dynamics(cfg_shard, net, Mode.TEST)(
+                    0.3, uu, {"params": p}
+                )
+            )(u, params)
+        np.testing.assert_allclose(
+            np.asarray(du_plain), np.asarray(du_shard), rtol=1e-5, atol=1e-6
+        )

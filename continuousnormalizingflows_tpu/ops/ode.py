@@ -141,6 +141,31 @@ def _time_dtype(y0: Pytree):
     return dt if jnp.issubdtype(dt, jnp.floating) else jnp.float32
 
 
+def _controller_factor(ratio, inv_order, safety, min_factor, max_factor, tdt):
+    """Step-size factor, non-finite-safe.
+
+    A trial step whose error ratio is NaN/Inf (an overflowed f eval — e.g. a
+    too-large dt pushing softplus/exp past the float range) must be treated as
+    a hard reject with maximal shrink, NOT fed to ``power`` (NaN factor ⇒ NaN
+    dt ⇒ the loop spins its whole step budget before poisoning — measured as
+    a 16k-iteration stall on the TPU).  Shrinking re-enters the finite region;
+    genuine divergence (NaN params) is caught by the caller's give-up test.
+
+    Returns ``(finite, factor)``."""
+    finite = jnp.isfinite(ratio)
+    safe_ratio = jnp.where(finite, jnp.maximum(ratio, 1e-10), 1.0)
+    factor = jnp.clip(
+        safety * jnp.power(safe_ratio, -inv_order), min_factor, max_factor
+    )
+    return finite, jnp.where(finite, factor, min_factor).astype(tdt)
+
+
+# give-up threshold: a non-finite trial at |dt| below this fraction of the
+# span means the field itself is non-finite (shrinking cannot help) — exit
+# and NaN-poison instead of burning the remaining step budget
+_DT_GIVE_UP = 1e-6
+
+
 # ---------------------------------------------------------------------------
 # embedded explicit-RK tableaus (FSAL: last row of A equals B, so the final
 # stage of an accepted step seeds the next step's first stage)
@@ -264,23 +289,22 @@ def odeint_dopri5(
     inv_order = 1.0 / tab.order
 
     def cond(state):
-        t, _y, _dt, _k1, nfe, steps, nacc, done = state
-        return jnp.logical_and(jnp.logical_not(done), steps < cfg.max_steps)
+        t, _y, _dt, _k1, nfe, steps, nacc, done, fail = state
+        return jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(done, fail)), steps < cfg.max_steps
+        )
 
     def body(state):
-        t, y, dt, k1, nfe, steps, nacc, _done = state
+        t, y, dt, k1, nfe, steps, nacc, _done, _fail = state
         remaining = t1 - t
         # clamp the trial step so we can land exactly on t1
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
         y5, err, k7 = _erk_step(tab, f, t, y, dt_c, k1, args)
         ratio = _rms_error_ratio(err, y, y5, cfg.rtol, cfg.atol, error_weight)
-        accept = ratio <= 1.0
-
-        factor = jnp.clip(
-            cfg.safety * jnp.power(jnp.maximum(ratio, 1e-10), -inv_order),
-            cfg.min_factor,
-            cfg.max_factor,
-        ).astype(tdt)
+        finite, factor = _controller_factor(
+            ratio, inv_order, cfg.safety, cfg.min_factor, cfg.max_factor, tdt
+        )
+        accept = jnp.logical_and(finite, ratio <= 1.0)
         dt_next = dt_c * factor
 
         t_new = jnp.where(accept, t + dt_c, t)
@@ -291,12 +315,19 @@ def odeint_dopri5(
             lambda a, b: jnp.where(accept, a, b), k7, k1
         )
         done = jnp.logical_and(accept, jnp.abs(t1 - t_new) <= tiny * jnp.maximum(jnp.abs(t1), 1.0))
+        fail = jnp.logical_and(
+            jnp.logical_not(finite),
+            jnp.abs(dt_c) <= _DT_GIVE_UP * jnp.abs(span),
+        )
         nacc_new = nacc + accept.astype(jnp.int32)
-        return (t_new, y_new, dt_next, k_new, nfe + n_evals, steps + 1, nacc_new, done)
+        return (t_new, y_new, dt_next, k_new, nfe + n_evals, steps + 1,
+                nacc_new, done, fail)
 
     state0 = (t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.int32(0),
-              jnp.asarray(False))
-    _t, y1, dt_f, _k, nfe, steps, nacc, done = lax.while_loop(cond, body, state0)
+              jnp.asarray(False), jnp.asarray(False))
+    (_t, y1, dt_f, _k, nfe, steps, nacc, done, _fail) = lax.while_loop(
+        cond, body, state0
+    )
     # Loud failure on step-budget exhaustion: the reference never truncates
     # (maxiters = typemax, icnf.jl:86) — silently returning the state at
     # max_steps would be a *wrong answer*, so poison it with NaN instead
@@ -361,7 +392,9 @@ def _lagrange_quad_weights(taus: list, a, b) -> list:
 def _abm_weights_order(k: int, K: int, ts_h, t_new):
     """Padded (pred (K,), corr_new scalar, corr_hist (K,), milne scalar) for a
     *static* order ``k``.  Predictor: k history nodes (order k); corrector:
-    the new node + the k-1 (k>1: order k) most recent."""
+    the new node + the k-1 (k>1: order k) most recent.  Weights carry the
+    time dtype (f64 solves need f64 quadrature weights)."""
+    wdt = ts_h.dtype
     t = ts_h[0]
     taus = [ts_h[i] for i in range(k)]
     w_pred = _lagrange_quad_weights(taus, t, t_new)
@@ -370,14 +403,14 @@ def _abm_weights_order(k: int, K: int, ts_h, t_new):
     w_corr = _lagrange_quad_weights(corr_nodes, t, t_new)
 
     pad = lambda ws: jnp.stack(
-        [jnp.asarray(ws[i], jnp.float32) if i < len(ws) else jnp.float32(0.0)
+        [jnp.asarray(ws[i], wdt) if i < len(ws) else jnp.zeros((), wdt)
          for i in range(K)]
     )
     return (
         pad(w_pred),
-        jnp.asarray(w_corr[0], jnp.float32),
+        jnp.asarray(w_corr[0], wdt),
         pad(w_corr[1:]),
-        jnp.float32(_MILNE[k - 1]),
+        jnp.asarray(_MILNE[k - 1], wdt),
     )
 
 
@@ -387,14 +420,15 @@ def _abm_weights_branch3(k: int, K: int, ts_h, t_new):
     variable-coefficient analogue of VCABM's order-selection triple."""
     outs = []
     for j in (k - 1, k, k + 1):
+        wdt = ts_h.dtype
         if 1 <= j <= K:
             wp, wcn, wch, mil = _abm_weights_order(j, K, ts_h, t_new)
-            outs.append((wp, wcn, wch, mil, jnp.float32(1.0)))
+            outs.append((wp, wcn, wch, mil, jnp.ones((), wdt)))
         else:
             outs.append((
-                jnp.zeros((K,), jnp.float32), jnp.float32(0.0),
-                jnp.zeros((K,), jnp.float32), jnp.float32(1.0),
-                jnp.float32(0.0),
+                jnp.zeros((K,), wdt), jnp.zeros((), wdt),
+                jnp.zeros((K,), wdt), jnp.ones((), wdt),
+                jnp.zeros((), wdt),
             ))
     stack = lambda i: jnp.stack([o[i] for o in outs])
     return stack(0), stack(1), stack(2), stack(3), stack(4)
@@ -470,11 +504,14 @@ def odeint_abm(
     )
 
     def cond(state):
-        (t, _y, _dt, _ts, _fs, _nh, _ord, nfe, steps, nacc, done) = state
-        return jnp.logical_and(jnp.logical_not(done), steps < cfg.max_steps)
+        (t, _y, _dt, _ts, _fs, _nh, _ord, nfe, steps, nacc, done, fail) = state
+        return jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(done, fail)), steps < cfg.max_steps
+        )
 
     def body(state):
-        (t, y, dt, ts_h, fs_h, n_h, order, nfe, steps, nacc, _done) = state
+        (t, y, dt, ts_h, fs_h, n_h, order, nfe, steps, nacc, _done,
+         _fail) = state
         remaining = t1 - t
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
         t_new = t + dt_c
@@ -522,7 +559,8 @@ def odeint_abm(
         r_hi = jnp.where(
             jnp.logical_and(valid3[2] > 0, n_h >= order + 1), r_hi, inf
         )
-        accept = ratio <= 1.0
+        finite = jnp.isfinite(ratio)
+        accept = jnp.logical_and(finite, ratio <= 1.0)
 
         # PECE second evaluate: the stored history derivative is f at the
         # *corrected* solution
@@ -541,11 +579,10 @@ def odeint_abm(
         )
 
         inv_ord = 1.0 / (ord_next.astype(jnp.float32) + 1.0)
-        factor = jnp.clip(
-            cfg.safety * jnp.power(jnp.maximum(ratio_sel, 1e-10), -inv_ord),
-            cfg.min_factor,
-            2.0,  # multistep stability: bounded step-ratio growth
-        ).astype(tdt)
+        # 2.0 growth cap: multistep stability needs bounded step ratios
+        _fin, factor = _controller_factor(
+            ratio_sel, inv_ord, cfg.safety, cfg.min_factor, 2.0, tdt
+        )
         dt_next = dt_c * factor
 
         # shifted history (applied only on accept)
@@ -564,14 +601,18 @@ def odeint_abm(
         done = jnp.logical_and(
             accept, jnp.abs(t1 - t_out) <= tiny * jnp.maximum(jnp.abs(t1), 1.0)
         )
+        fail = jnp.logical_and(
+            jnp.logical_not(finite),
+            jnp.abs(dt_c) <= _DT_GIVE_UP * jnp.abs(span),
+        )
         return (t_out, y_out, dt_next, ts_out, fs_out, nh_out, ord_next,
-                nfe + 2, steps + 1, nacc + accept.astype(jnp.int32), done)
+                nfe + 2, steps + 1, nacc + accept.astype(jnp.int32), done, fail)
 
     state0 = (t0, y0, dt_init, ts_h0, fs_h0, jnp.int32(1), jnp.int32(1),
-              jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.asarray(False))
-    (_t, y1, dt_f, _ts, _fs, _nh, _ord, nfe, steps, nacc, done) = lax.while_loop(
-        cond, body, state0
-    )
+              jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.asarray(False),
+              jnp.asarray(False))
+    (_t, y1, dt_f, _ts, _fs, _nh, _ord, nfe, steps, nacc, done,
+     _fail) = lax.while_loop(cond, body, state0)
     y1 = jax.tree_util.tree_map(
         lambda l: jnp.where(done, l, jnp.full_like(l, jnp.nan)), y1
     )
@@ -671,7 +712,7 @@ def odeint_dopri5_dense(
     dt_init = span * jnp.asarray(cfg.dt0, tdt)
     inv_order = 1.0 / tab.order
 
-    buf_s = jnp.full((max_nodes,), jnp.inf, jnp.float32)
+    buf_s = jnp.full((max_nodes,), jnp.inf, tdt)
     buf_y = jax.tree_util.tree_map(
         lambda l: jnp.zeros((max_nodes,) + l.shape, l.dtype), y0
     )
@@ -682,7 +723,7 @@ def odeint_dopri5_dense(
     def write_node(bufs, idx, t, y, k):
         b_s, b_y, b_f = bufs
         idx = jnp.minimum(idx, max_nodes - 1)
-        s = ((t - t0) / span).astype(jnp.float32)
+        s = ((t - t0) / span).astype(tdt)
         b_s = b_s.at[idx].set(s)
         b_y = jax.tree_util.tree_map(
             lambda buf, l: lax.dynamic_update_index_in_dim(buf, l, idx, 0), b_y, y
@@ -695,22 +736,21 @@ def odeint_dopri5_dense(
     bufs0 = write_node((buf_s, buf_y, buf_f), jnp.int32(0), t0, y0, k1)
 
     def cond(state):
-        (_t, _y, _dt, _k1, _nfe, steps, done, _bufs, _n) = state
-        return jnp.logical_and(jnp.logical_not(done), steps < cfg.max_steps)
+        (_t, _y, _dt, _k1, _nfe, steps, done, fail, _bufs, _n) = state
+        return jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(done, fail)), steps < cfg.max_steps
+        )
 
     def body(state):
-        (t, y, dt, k1, nfe, steps, _done, bufs, n) = state  # n - 1 == naccept
+        (t, y, dt, k1, nfe, steps, _done, _fail, bufs, n) = state
         remaining = t1 - t
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
         y5, err, k7 = _erk_step(tab, f, t, y, dt_c, k1, args)
         ratio = _rms_error_ratio(err, y, y5, cfg.rtol, cfg.atol)
-        accept = ratio <= 1.0
-
-        factor = jnp.clip(
-            cfg.safety * jnp.power(jnp.maximum(ratio, 1e-10), -inv_order),
-            cfg.min_factor,
-            cfg.max_factor,
-        ).astype(tdt)
+        finite, factor = _controller_factor(
+            ratio, inv_order, cfg.safety, cfg.min_factor, cfg.max_factor, tdt
+        )
+        accept = jnp.logical_and(finite, ratio <= 1.0)
         dt_next = dt_c * factor
 
         t_new = jnp.where(accept, t + dt_c, t)
@@ -727,14 +767,20 @@ def odeint_dopri5_dense(
         done = jnp.logical_and(
             accept, jnp.abs(t1 - t_new) <= tiny * jnp.maximum(jnp.abs(t1), 1.0)
         )
+        fail = jnp.logical_and(
+            jnp.logical_not(finite),
+            jnp.abs(dt_c) <= _DT_GIVE_UP * jnp.abs(span),
+        )
         return (t_new, y_new, dt_next, k_new, nfe + n_evals, steps + 1, done,
-                bufs_new, n_new)
+                fail, bufs_new, n_new)
 
     state0 = (
         t0, y0, dt_init, k1, jnp.int32(1), jnp.int32(0), jnp.asarray(False),
-        bufs0, jnp.int32(1),
+        jnp.asarray(False), bufs0, jnp.int32(1),
     )
-    (_t, y1, dt_f, _k, nfe, steps, done, bufs, n) = lax.while_loop(cond, body, state0)
+    (_t, y1, dt_f, _k, nfe, steps, done, _fail, bufs, n) = lax.while_loop(
+        cond, body, state0
+    )
     # Loud failure on both budget exhaustion AND dense-buffer overflow: once
     # n > max_nodes a node has clobbered the last slot and the tail of the
     # interpolant is wrong, which would silently corrupt quadrature-adjoint

@@ -124,14 +124,27 @@ def _tile_error_ratio(err, u, u5, sd: int, rtol: float, atol: float):
 
 
 def _controller(ratio, dt_c, safety, min_factor, max_factor):
-    # ratio**(-1/order) via exp/log: Mosaic has no scalar powf lowering
-    r = jnp.maximum(ratio, 1e-10)
+    """Non-finite-safe step controller (same policy as ops.ode
+    ``_controller_factor``): a NaN/Inf error ratio — an overflowed trial step
+    — is a hard reject with maximal shrink, never fed to exp/log (a NaN dt
+    spins the tile's whole step budget; measured as the 16k-iteration stall
+    that watchdog-faulted the kernel on v5e).  Returns ``(finite, dt_next)``.
+
+    ratio**(-1/order) via exp/log: Mosaic has no scalar powf lowering."""
+    finite = jnp.isfinite(ratio)
+    r = jnp.maximum(jnp.where(finite, ratio, 1.0), 1e-10)
     factor = jnp.clip(
         safety * jnp.exp(-_INV_ORDER * jnp.log(r)),
         min_factor,
         max_factor,
     )
-    return dt_c * factor
+    return finite, dt_c * jnp.where(finite, factor, min_factor)
+
+
+# give-up threshold (matches ops.ode._DT_GIVE_UP): non-finite at |dt| below
+# this fraction of the span means the field itself is non-finite — exit and
+# let the caller's poison fire instead of burning the step budget
+_DT_GIVE_UP = 1e-6
 
 
 # ---------------------------------------------------------------------------
@@ -158,17 +171,19 @@ def _adaptive_fwd_kernel(nz, sd, t_col, scfg, t0_ref, t1_ref, u0_ref, eps_ref,
         return du
 
     def cond(state):
-        t, _u, _dt, _k1, _nfe, steps, _nacc, done = state
-        return jnp.logical_and(jnp.logical_not(done), steps < max_steps)
+        t, _u, _dt, _k1, _nfe, steps, _nacc, done, fail = state
+        return jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(done, fail)), steps < max_steps
+        )
 
     def body(state):
-        t, u, dt, k1, nfe, steps, nacc, _done = state
+        t, u, dt, k1, nfe, steps, nacc, _done, _fail = state
         remaining = t1 - t
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
         u5, err, k7 = _trial_step(fstage, t, u, dt_c, k1)
         ratio = _tile_error_ratio(err, u, u5, sd, rtol, atol)
-        accept = ratio <= 1.0
-        dt_next = _controller(ratio, dt_c, safety, min_f, max_f)
+        finite, dt_next = _controller(ratio, dt_c, safety, min_f, max_f)
+        accept = jnp.logical_and(finite, ratio <= 1.0)
         t_new = jnp.where(accept, t + dt_c, t)
         u_new = jnp.where(accept, u5, u)
         k_new = jnp.where(accept, k7, k1)
@@ -176,14 +191,18 @@ def _adaptive_fwd_kernel(nz, sd, t_col, scfg, t0_ref, t1_ref, u0_ref, eps_ref,
             accept,
             jnp.abs(t1 - t_new) <= tiny * jnp.maximum(jnp.abs(t1), 1.0),
         )
+        fail = jnp.logical_and(
+            jnp.logical_not(finite),
+            jnp.abs(dt_c) <= _DT_GIVE_UP * jnp.abs(span),
+        )
         return (t_new, u_new, dt_next, k_new, nfe + _N_STAGES, steps + 1,
-                nacc + accept.astype(jnp.int32), done)
+                nacc + accept.astype(jnp.int32), done, fail)
 
     u0 = u0_ref[:]
     k1 = fstage(t0, u0)
     state0 = (t0, u0, span * jnp.float32(dt0f), k1, jnp.int32(1),
-              jnp.int32(0), jnp.int32(0), jnp.bool_(False))
-    _t, u1, dt_f, _k, nfe, steps, nacc, done = jax.lax.while_loop(
+              jnp.int32(0), jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
+    _t, u1, dt_f, _k, nfe, steps, nacc, done, _fail = jax.lax.while_loop(
         cond, body, state0
     )
     # loud failure on step-budget exhaustion (same policy as ops.ode)
@@ -226,16 +245,19 @@ def _adaptive_bwd_kernel(nz, sd, t_col, scfg, max_nodes, t0_ref, t1_ref,
 
     # ---- 1. replay the adaptive forward, recording accepted-step nodes ----
     def cond(state):
-        t, _u, _dt, _k1, steps, _n, done = state
-        return jnp.logical_and(jnp.logical_not(done), steps < max_steps)
+        t, _u, _dt, _k1, steps, _n, done, fail = state
+        return jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(done, fail)), steps < max_steps
+        )
 
     def body(state):
-        t, u, dt, k1, steps, n, _done = state
+        t, u, dt, k1, steps, n, _done, _fail = state
         remaining = t1 - t
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
         u5, err, k7 = _trial_step(fstage, t, u, dt_c, k1)
         ratio = _tile_error_ratio(err, u, u5, sd, rtol, atol)
-        accept = ratio <= 1.0
+        finite, dt_next = _controller(ratio, dt_c, safety, min_f, max_f)
+        accept = jnp.logical_and(finite, ratio <= 1.0)
 
         @pl.when(accept)
         def _():
@@ -244,7 +266,6 @@ def _adaptive_bwd_kernel(nz, sd, t_col, scfg, max_nodes, t0_ref, t1_ref,
             ts_ref[idx] = t
             dts_ref[idx] = dt_c
 
-        dt_next = _controller(ratio, dt_c, safety, min_f, max_f)
         t_new = jnp.where(accept, t + dt_c, t)
         u_new = jnp.where(accept, u5, u)
         k_new = jnp.where(accept, k7, k1)
@@ -252,14 +273,18 @@ def _adaptive_bwd_kernel(nz, sd, t_col, scfg, max_nodes, t0_ref, t1_ref,
             accept,
             jnp.abs(t1 - t_new) <= tiny * jnp.maximum(jnp.abs(t1), 1.0),
         )
+        fail = jnp.logical_and(
+            jnp.logical_not(finite),
+            jnp.abs(dt_c) <= _DT_GIVE_UP * jnp.abs(span),
+        )
         return (t_new, u_new, dt_next, k_new, steps + 1,
-                n + accept.astype(jnp.int32), done)
+                n + accept.astype(jnp.int32), done, fail)
 
     u0 = u0_ref[:]
     k1 = fstage(t0, u0)
     state0 = (t0, u0, span * jnp.float32(dt0f), k1, jnp.int32(0),
-              jnp.int32(0), jnp.bool_(False))
-    _t, _u, _dt, _k, _steps, nacc, done = jax.lax.while_loop(
+              jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
+    _t, _u, _dt, _k, _steps, nacc, done, _fail = jax.lax.while_loop(
         cond, body, state0
     )
     # node-buffer overflow or budget exhaustion ⇒ NaN-poisoned gradients

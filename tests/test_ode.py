@@ -496,3 +496,60 @@ class TestSeminorm:
         g_off = grads(False)
         for a, b in zip(jax.tree_util.tree_leaves(g_on), jax.tree_util.tree_leaves(g_off)):
             assert jnp.max(jnp.abs(a - b)) < 1e-3
+
+
+class TestNonFiniteRobustness:
+    """A non-finite trial step (overflowed f eval) must be rejected-and-shrunk,
+    and a genuinely non-finite field (e.g. NaN params mid-training) must exit
+    via the give-up path with the loud NaN poison after a BOUNDED number of
+    iterations — not burn the whole 16k step budget (measured on v5e: the
+    pre-fix NaN-dt spiral watchdog-faulted the device)."""
+
+    @pytest.mark.parametrize("method", ["dopri5", "tsit5", "abm"])
+    def test_nan_field_gives_up_quickly(self, method):
+        def f(t, y, args):
+            return jnp.full_like(y, jnp.nan)
+
+        cfg = SolverConfig(method=method, rtol=1e-4, atol=1e-4, max_steps=16384)
+        y1, stats = jax.jit(
+            lambda y0: odeint(f, y0, 0.0, 1.0, None, cfg), backend="cpu"
+        )(jnp.ones((4,)))
+        assert bool(jnp.all(jnp.isnan(y1)))  # loud poison
+        # give-up: ~log(1e-6)/log(min_factor) rejections, not the full budget
+        assert int(stats.naccept) + int(stats.nreject) < 100, (
+            int(stats.naccept), int(stats.nreject))
+
+    def test_controller_factor_nonfinite_safe(self):
+        from continuousnormalizingflows_tpu.ops.ode import _controller_factor
+
+        for bad in (jnp.float32(jnp.nan), jnp.float32(jnp.inf)):
+            finite, factor = _controller_factor(
+                bad, 0.2, 0.9, 0.2, 10.0, jnp.float32
+            )
+            assert not bool(finite)
+            assert abs(float(factor) - 0.2) < 1e-6  # maximal shrink, never NaN
+        finite, factor = _controller_factor(
+            jnp.float32(1e6), 0.2, 0.9, 0.2, 10.0, jnp.float32
+        )
+        assert bool(finite) and abs(float(factor) - 0.2) < 1e-6
+
+    def test_transient_overflow_recovers(self):
+        """A field with an Inf wall above the solution's range: a too-large
+        trial step overshoots into the wall (stage 4 of the first dt=2 trial
+        reaches y=2.58 > 1.1), the solve must reject-and-shrink and still
+        deliver the correct finite answer (pre-fix: NaN dt spiral)."""
+
+        def f(t, y, args):
+            return jnp.where(y > 1.1, jnp.inf, y)
+
+        cfg = SolverConfig(method="dopri5", rtol=1e-6, atol=1e-6, dt0=2.0)
+        y1, stats = jax.jit(
+            lambda y0: odeint(f, y0, 0.0, 0.7, None, cfg), backend="cpu"
+        )(jnp.full((2,), 0.5))
+        assert int(stats.nreject) >= 1  # the overshooting trial was rejected
+        assert bool(jnp.all(jnp.isfinite(y1)))
+        import numpy as np
+
+        np.testing.assert_allclose(
+            np.asarray(y1), 0.5 * np.exp(0.7), rtol=1e-4
+        )

@@ -116,3 +116,36 @@ def test_f64_training_step_and_generate(x64):
     assert all(a.dtype == jnp.float64 for a in jax.tree_util.tree_leaves(p2))
     gen = cnf.generate(icnf, Mode.TEST, p2, jax.random.PRNGKey(5), 8)
     assert gen.dtype == jnp.float64 and bool(jnp.all(jnp.isfinite(gen)))
+
+
+def test_abm_adaptive_order_wins_at_tight_tolerance(x64):
+    """The VCABM-class promise (reference icnf.jl:89 — adaptive order):
+    at rtol 1e-10 (f64 territory; f32 noise-floors below ~1e-7) the order-8
+    multistep must beat both the order-4 cap (its step count collapses:
+    measured 279 vs 121 NFE) and dopri5 (169 NFE) on a smooth field."""
+    import functools
+
+    from continuousnormalizingflows_tpu.ops.ode import odeint
+
+    def f(t, y, args):
+        return jnp.tanh(y[::-1]) - 0.5 * y + jnp.sin(3 * t)
+
+    y0 = jnp.linspace(-1.0, 1.0, 8).astype(jnp.float64)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def solve(cfg):
+        return odeint(f, y0, 0.0, 1.0, None, cfg)
+
+    ref, _ = solve(SolverConfig(method="dopri5", rtol=1e-13, atol=1e-13))
+    nfes = {}
+    for name, cfg in [
+        ("dopri5", SolverConfig(method="dopri5", rtol=1e-10, atol=1e-10)),
+        ("abm4", SolverConfig(method="abm", rtol=1e-10, atol=1e-10, abm_order=4)),
+        ("abm8", SolverConfig(method="abm", rtol=1e-10, atol=1e-10, abm_order=8)),
+    ]:
+        y1, st = solve(cfg)
+        # each method's global error must track its tolerance class
+        assert float(jnp.max(jnp.abs(y1 - ref))) < 1e-8, name
+        nfes[name] = int(st.nfe)
+    assert nfes["abm8"] < nfes["dopri5"], nfes
+    assert nfes["abm8"] < 0.6 * nfes["abm4"], nfes  # measured: 121 vs 279

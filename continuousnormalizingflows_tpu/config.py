@@ -210,6 +210,17 @@ class ICNFConfig:
     # 128-lane contraction padding is free, and loses at the tiny default
     # widths where XLA contracts at k=24 while the kernel pays k=128.
     fused: bool = False
+    # Separately gate the ADAPTIVE whole-solve kernel (pallas_adaptive):
+    # measured on v5e (PARITY.md round 3) it loses or ties everywhere the
+    # fixed-step kernel wins (tiny 0.32x, h=128 0.92x at b=16k, 1.00x at
+    # b=64k vs fp32 XLA, loss parity exact), and its per-tile error control
+    # resolves sample-local stiffness the global-batch RMS norm dilutes —
+    # which changes TRAINING trajectories vs the reference's global-norm
+    # semantics (observed: a 65k-batch run diverging at step 3 where the XLA
+    # path trains on).  Kept as a validated opt-in (gradients match XLA to
+    # 4e-5 on hardware) for tile-local-adaptivity experiments; never routes
+    # unless BOTH fused and fused_adaptive are set.
+    fused_adaptive: bool = False
     # Array layout *inside the ODE solve*:
     #   "batch_first"   — (batch, features): natural NumPy layout, batch on
     #                     MXU rows; features live in the 128-lane dimension,

@@ -384,6 +384,7 @@ def fused_adaptive_applicable(cfg: ICNFConfig, net, mode: Mode) -> bool:
 
     return (
         cfg.fused
+        and cfg.fused_adaptive  # measured negative by default — see config.py
         and cfg.layout == "batch_first"
         and cfg.solver.method == "dopri5"
         and cfg.solver.gradient == "adjoint"

@@ -207,7 +207,11 @@ def test_applicability_gate():
     icnf = make()
     # CPU backend → not applicable (kernel enabled on TPU only)
     assert not fused_adaptive_applicable(icnf.config, icnf.net, Mode.TRAIN)
-    cfg_on = dataclasses.replace(icnf.config, fused=True)
+    # fused alone no longer routes the adaptive kernel (measured negative,
+    # PARITY.md round 3) — fused_adaptive must ALSO be set
+    cfg_f = dataclasses.replace(icnf.config, fused=True)
+    assert not fused_adaptive_applicable(cfg_f, icnf.net, Mode.TRAIN)
+    cfg_on = dataclasses.replace(icnf.config, fused=True, fused_adaptive=True)
     assert not fused_adaptive_applicable(cfg_on, icnf.net, Mode.TEST)
     # quadrature gradients keep the XLA interpolation adjoint
     cfg_q = dataclasses.replace(

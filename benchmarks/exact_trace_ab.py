@@ -84,10 +84,55 @@ def main():
     print(f"\nanalytic vs sweep at d={args.nvariables}: {t_sweep/t_fast:.2f}x faster,"
           f" logp Δ {abs(lp_fast-lp_sweep):.2e}", flush=True)
 
+    print("\nGeneric-net sweep at scale: full-vmap vs exact_chunk "
+          "(VERDICT Missing #4):", flush=True)
+    bench_chunked_sweep(nvariables=64, batch=4096, chunk=32)
+    bench_chunked_sweep(nvariables=784, batch=512, chunk=64)
+
     print(f"\nTRAIN-mode trace A/B (FFJORD, d={args.nvariables}):", flush=True)
     bench_train_trace(args.nvariables, args.batch)
     print(f"\nTRAIN-mode trace A/B (FFJORD, d=2):", flush=True)
     bench_train_trace(2, args.batch)
+
+
+def bench_chunked_sweep(nvariables: int, batch: int, chunk: int):
+    """Arbitrary-net (no analytic trace) TestMode at scale.  The full-vmap
+    sweep materializes an (nz, batch, nz) Jacobian-column stack — 40 GB at
+    d=784/b=4096 — while exact_chunk scans (chunk, batch, nz) blocks.  Both
+    bit-match (tests/test_dynamics.py); this measures what the memory bound
+    costs/buys in time on hardware."""
+    import dataclasses
+
+    solver = SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4)
+    icnf0 = cnf.ICNF.create(nvariables=nvariables, solver=solver)
+    mlp = icnf0.net
+
+    class Opaque(DynamicsNet):
+        n_in, n_out = mlp.n_in, mlp.n_out
+
+        def init(self, key):
+            return mlp.init(key)
+
+        def apply(self, p, xx):
+            return mlp.apply(p, xx)
+
+    params = icnf0.init(jax.random.PRNGKey(0))
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (batch, nvariables))
+    rows = {}
+    for label, ck in (("full-vmap", 0), (f"chunk={chunk}", chunk)):
+        icnf = cnf.ICNF(
+            config=dataclasses.replace(icnf0.config, exact_chunk=ck),
+            net=Opaque(),
+        )
+        try:
+            rows[label], _ = bench(icnf, params, x, f"d={nvariables} {label}")
+        except Exception as e:  # the 40 GB stack OOMs — that IS the result
+            print(f"  d={nvariables} {label:>10}: FAILED "
+                  f"({type(e).__name__}: {str(e)[:90]})", flush=True)
+    if len(rows) == 2:
+        a, b = rows.values()
+        print(f"  chunked is {a/b:.2f}x the full-vmap rate at "
+              f"d={nvariables} b={batch}", flush=True)
 
 
 

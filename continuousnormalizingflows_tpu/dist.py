@@ -51,6 +51,12 @@ def _shim_layout(x: jax.Array, nvariables: int) -> jax.Array:
             )
             _warned_transpose = True
         return x.T
+    if x.ndim == 2 and x.shape[1] != nvariables:
+        raise ValueError(
+            f"input has {x.shape[1]} features but the model was built with "
+            f"nvariables={nvariables} (got shape {x.shape}; batch-first "
+            f"(n, {nvariables}) expected)"
+        )
     return x
 
 

@@ -82,6 +82,17 @@ def test_features_first_layout_shim_warns_once():
     assert sum("features-first" in str(r.message) for r in rec) == 1
 
 
+def test_wrong_width_raises_cleanly():
+    """A batch whose width matches neither (n, d) nor (d, n) fails with a
+    clear ValueError at the facade, not a broadcast error inside the solve."""
+    import pytest
+
+    icnf, params = make_fitted()
+    d = cnf.ICNFDist(icnf, params)
+    with pytest.raises(ValueError, match="nvariables=2"):
+        d.logpdf(jnp.zeros((3, 5)))
+
+
 def test_conditional_dist():
     icnf, params = make_fitted(nconditions=2)
     ys = jnp.array([0.5, -0.5])

@@ -136,26 +136,25 @@ def main():
                       optax.adamw(lr, weight_decay=args.weight_decay))
     opt_state = opt.init(params)
 
-    @jax.jit
-    def run_chunk(params, opt_state, key):
-        def step(carry, _):
-            params, opt_state, key = carry
-            key, k_b, k_u, k_s = jax.random.split(key, 4)
-            idx = jax.random.randint(k_b, (args.batch,), 0, x_train_i.shape[0])
-            xb_i = jnp.take(x_train_i, idx, axis=0)
-            # fresh dequantization noise every step (itself a regularizer)
-            yb, _ = datasets.dequantize_logit(xb_i, k_u, alpha=ALPHA)
-            vb = (yb - m) / s
-            l, g = jax.value_and_grad(
-                lambda p: cnf.loss(icnf, Mode.TRAIN, vb, p, key=k_s)
-            )(params)
-            updates, opt_state = opt.update(g, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state, key), l
+    # Training goes through the SUPPORTED estimator API: per-step jitted
+    # dequantization via batch_transform, one dispatch per epoch via
+    # steps_per_dispatch, and eval-between-chunks via exact warm-start resume
+    # (params + opt_state + key round-trip FitResult) — no custom train loop.
+    def deq_standardize(k, xb_int):
+        yb, _ = datasets.dequantize_logit(xb_int, k, alpha=ALPHA)
+        return (yb - m) / s
 
-        (params, opt_state, key), ls = jax.lax.scan(
-            step, (params, opt_state, key), jnp.arange(args.eval_every)
-        )
-        return params, opt_state, key, ls[-1]
+    steps_per_epoch = max(1, x_train_i.shape[0] // args.batch)
+    epochs_per_chunk = max(1, args.eval_every // steps_per_epoch)
+    model = cnf.ICNFModel(
+        icnf, optimizer=opt, batchsize=args.batch, epochs=epochs_per_chunk,
+        steps_per_dispatch=steps_per_epoch, batch_transform=deq_standardize,
+        log_every=steps_per_epoch * epochs_per_chunk,
+    )
+
+    def run_chunk(params, opt_state, key):
+        res = model.fit(x_train_i, params=params, opt_state=opt_state, key=key)
+        return res.params, res.opt_state, res.key, res.history[-1]
 
     @jax.jit
     def eval_bpd(params, x_int, key):
@@ -185,7 +184,7 @@ def main():
     best = float(bpd0)
     while done < args.steps:
         params, opt_state, key, l = run_chunk(params, opt_state, key)
-        done += args.eval_every
+        done += steps_per_epoch * epochs_per_chunk
         bpd_te, nfe = eval_bpd(params, x_test_i, k_ev)
         bpd_tr, _ = eval_bpd(params, x_train_i[:512], k_ev)
         best = min(best, float(bpd_te))

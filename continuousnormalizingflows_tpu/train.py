@@ -118,6 +118,7 @@ class ICNFModel:
         callback: Optional[Callable[[int, float], None]] = None,
         mesh=None,
         steps_per_dispatch: int = 1,
+        batch_transform: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
     ) -> None:
         self.icnf = icnf
         self.optimizer = optimizer if optimizer is not None else default_optimizer()
@@ -128,15 +129,40 @@ class ICNFModel:
         self.callback = callback
         self.mesh = mesh
         self.steps_per_dispatch = int(steps_per_dispatch)
+        # per-step jitted data augmentation: ``xb = batch_transform(key, xb)``
+        # on every minibatch with a fresh key (e.g. uniform dequantization
+        # noise for quantized images — itself a regularizer; the reference
+        # leaves this to user-side preprocessing outside the train loop,
+        # mlj_ext/core.jl:24-43, which cannot re-sample noise per step).
+        # When None, the PRNG stream is unchanged (exact-resume compatible).
+        self.batch_transform = batch_transform
         self._conditional = icnf.config.conditioned
+        # jitted-step memo: repeated fit() calls (the eval-between-chunks
+        # warm-start pattern) must reuse one compiled program, not retrace —
+        # jax.jit caches by function identity, and _make_step builds a fresh
+        # closure per call.  Invalidated implicitly only by constructing a
+        # new model (attributes are treated as frozen after __init__).
+        self._step_cache: dict = {}
 
     # -- internals ---------------------------------------------------------
 
+    def _apply_transform(self, k_step, xb):
+        """Split the step key and augment the minibatch when a
+        ``batch_transform`` is set; identity (stream-preserving) otherwise."""
+        if self.batch_transform is None:
+            return k_step, xb
+        k_loss, k_aug = jax.random.split(k_step)
+        return k_loss, self.batch_transform(k_aug, xb)
+
     def _make_step(self):
+        if "step" in self._step_cache:
+            return self._step_cache["step"]
         icnf, optimizer = self.icnf, self.optimizer
         conditional = self._conditional
 
         def step(params, opt_state, key, xs, ys):
+            key, xs = self._apply_transform(key, xs)
+
             def loss_fn(p):
                 return loss_with_stats(
                     icnf, Mode.TRAIN, xs, p, key=key, ys=ys if conditional else None
@@ -150,8 +176,11 @@ class ICNFModel:
         if self.mesh is not None:
             from .parallel.mesh import shard_train_step
 
-            return shard_train_step(step, self.mesh, conditional)
-        return jax.jit(step, donate_argnums=(0, 1))
+            fn = shard_train_step(step, self.mesh, conditional)
+        else:
+            fn = jax.jit(step, donate_argnums=(0, 1))
+        self._step_cache["step"] = fn
+        return fn
 
     def _make_block_step(self):
         """k-steps-per-dispatch train block (``steps_per_dispatch > 1``).
@@ -162,6 +191,8 @@ class ICNFModel:
         the scan in the same order as the per-step loop, so the probe/steer
         stream — and therefore the trained parameters — are bit-identical for
         every ``k`` (asserted in tests/test_train.py)."""
+        if "block" in self._step_cache:
+            return self._step_cache["block"]
         icnf, optimizer = self.icnf, self.optimizer
         conditional = self._conditional
 
@@ -171,6 +202,7 @@ class ICNFModel:
                 key, k_step = jax.random.split(key)
                 xb = jnp.take(xs_all, idx, axis=0)
                 yb = jnp.take(ys_all, idx, axis=0) if conditional else None
+                k_step, xb = self._apply_transform(k_step, xb)
 
                 def loss_fn(p):
                     return loss_with_stats(
@@ -195,14 +227,17 @@ class ICNFModel:
 
             repl = replicated(self.mesh)
             dsh = data_sharding(self.mesh)
-            return jax.jit(
+            fn = jax.jit(
                 block,
                 in_shardings=(repl, repl, repl, dsh,
                               dsh if conditional else None, repl),
                 out_shardings=repl,
                 donate_argnums=(0, 1),
             )
-        return jax.jit(block, donate_argnums=(0, 1))
+        else:
+            fn = jax.jit(block, donate_argnums=(0, 1))
+        self._step_cache["block"] = fn
+        return fn
 
     def _batches(self, key: jax.Array, n: int) -> np.ndarray:
         bs = self.batchsize

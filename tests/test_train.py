@@ -257,6 +257,63 @@ def test_steps_per_dispatch_bit_parity():
     assert blocked.stats["nfe"] == base.stats["nfe"]
 
 
+def test_batch_transform_hook():
+    """``batch_transform`` applies per-step jitted augmentation with a fresh
+    key (the dequantization-noise pattern): it changes training relative to
+    the raw data, is itself bit-reproducible, and stays bit-identical across
+    ``steps_per_dispatch`` values."""
+    from continuousnormalizingflows_tpu.utils import datasets as ds
+
+    icnf = cnf.ICNF.create(nvariables=2, solver=FAST_TRAIN)
+    # integer "quantized" data; the transform dequantizes + logit-maps it
+    x_int = jnp.asarray(
+        np.random.default_rng(0).integers(0, 17, size=(96, 2)), jnp.float32
+    )
+    p0 = icnf.init(jax.random.PRNGKey(4))
+    kw = dict(batchsize=32, epochs=2, key=jax.random.PRNGKey(9))
+
+    def deq(key, xb):
+        y, _ldj = ds.dequantize_logit(xb, key, levels=17)
+        return 0.25 * y
+
+    raw = cnf.ICNFModel(icnf, **kw).fit(x_int, params=p0)
+    aug1 = cnf.ICNFModel(icnf, batch_transform=deq, **kw).fit(x_int, params=p0)
+    aug2 = cnf.ICNFModel(icnf, batch_transform=deq, **kw).fit(x_int, params=p0)
+    augk = cnf.ICNFModel(
+        icnf, batch_transform=deq, steps_per_dispatch=3, **kw
+    ).fit(x_int, params=p0)
+
+    la, lr = jax.tree_util.tree_leaves(aug1.params), jax.tree_util.tree_leaves(
+        raw.params
+    )
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(r)) for a, r in zip(la, lr)
+    ), "transform had no effect on training"
+    for a, b in zip(la, jax.tree_util.tree_leaves(aug2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(la, jax.tree_util.tree_leaves(augk.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_chunks_reuse_compiled_step():
+    """Repeated fit() calls (the eval-between-chunks warm-start loop) reuse
+    ONE jitted step: _make_step/_make_block_step memoize their closures, so
+    jax.jit's identity cache hits instead of retracing per chunk."""
+    icnf = cnf.ICNF.create(nvariables=2, solver=FAST_TRAIN)
+    m = cnf.ICNFModel(icnf, batchsize=16, epochs=1, key=jax.random.PRNGKey(0))
+    assert m._make_step() is m._make_step()
+    mb = cnf.ICNFModel(icnf, batchsize=16, epochs=1, steps_per_dispatch=2,
+                       key=jax.random.PRNGKey(0))
+    assert mb._make_block_step() is mb._make_block_step()
+
+    x = datasets.gaussian_mixture(jax.random.PRNGKey(3), 64)
+    r1 = m.fit(x)
+    n_traces = m._step_cache["step"]._cache_size()
+    r2 = m.fit(x, params=r1.params, opt_state=r1.opt_state, key=r1.key)
+    assert m._step_cache["step"]._cache_size() == n_traces, "fit retraced"
+    assert np.isfinite(r2.history[-1])
+
+
 def test_steps_per_dispatch_conditional_and_mesh():
     """Blocked dispatch with a conditional model on an 8-device mesh matches
     the unblocked single-device run (the gather rides GSPMD; loss psum

@@ -19,7 +19,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
-import optax
 
 import continuousnormalizingflows_tpu as cnf
 from continuousnormalizingflows_tpu.config import ICNFConfig, Mode, SolverConfig
@@ -39,8 +38,6 @@ def bench_case(nvars: int, h: int, batch: int, fused: bool):
     icnf = cnf.ICNF(config=cfg, net=net)
     params = icnf.init(jax.random.PRNGKey(0))
     x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (batch, nvars))
-    opt = optax.adam(1e-3)
-    opt_state = opt.init(params)
 
     # timing at FIXED params (fresh probe per step, no optimizer update):
     # constant NFE per step, so both sides time the same work.  Training
@@ -48,29 +45,29 @@ def bench_case(nvars: int, h: int, batch: int, fused: bool):
     # per-tile controller resolves sample-local stiffness the 65k-sample
     # global RMS norm dilutes, which changes training trajectories).
     def step(carry, _):
-        params, opt_state, key = carry
+        params, key = carry
         key, k = jax.random.split(key)
         l, _grads = jax.value_and_grad(
             lambda p: cnf.loss(icnf, Mode.TRAIN, x, p, key=k)
         )(params)
-        return (params, opt_state, key), l
+        return (params, key), l
 
     @jax.jit
-    def run(params, opt_state, key):
-        (params, opt_state, _), losses = jax.lax.scan(
-            step, (params, opt_state, key), jnp.arange(STEPS_TIMED)
+    def run(params, key):
+        (params, _), losses = jax.lax.scan(
+            step, (params, key), jnp.arange(STEPS_TIMED)
         )
         return losses[-1]
 
     t_c = time.perf_counter()
-    l = run(params, opt_state, jax.random.PRNGKey(0))
+    l = run(params, jax.random.PRNGKey(0))
     jax.block_until_ready(l)
     compile_s = time.perf_counter() - t_c
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        l = run(params, opt_state, jax.random.PRNGKey(0))
+        l = run(params, jax.random.PRNGKey(0))
         jax.block_until_ready(l)
         best = min(best, (time.perf_counter() - t0) / STEPS_TIMED)
     # per-solve stats for the same config (one inference dispatch)

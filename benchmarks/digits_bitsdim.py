@@ -68,14 +68,9 @@ def build(hidden, train_precision):
 
 
 def gaussian_baseline_bpd(y_train, ldj_test, y_test):
-    """Diagonal Gaussian fitted on train logits, scored on test — the
-    'did the flow learn anything' yardstick real data substitutes for the
-    analytic pdf."""
-    m = jnp.mean(y_train, axis=0)
-    v = jnp.var(y_train, axis=0) + 1e-6
-    logp = -0.5 * jnp.sum(
-        jnp.log(2 * jnp.pi * v) + (y_test - m) ** 2 / v, axis=-1
-    )
+    """Diagonal-Gaussian yardstick bits/dim (shared formula:
+    utils.datasets.diagonal_gaussian_logp)."""
+    logp = datasets.diagonal_gaussian_logp(y_train, y_test)
     return float(jnp.mean(datasets.quantized_bits_per_dim(logp, ldj_test, D)))
 
 
@@ -112,18 +107,9 @@ def main():
     args = ap.parse_args()
     print("device:", jax.devices()[0], flush=True)
 
-    # fixed shuffled split: 1500 train / 297 test
-    x_all = np.asarray(datasets.digits_data(), np.float32)
-    perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(42), len(x_all)))
-    x_train_i = jnp.asarray(x_all[perm[:1500]])
-    x_test_i = jnp.asarray(x_all[perm[1500:]])
-
-    # standardization constants from ONE train dequantization draw (a fixed
-    # diagonal affine layer of the model; its ldj enters the likelihood)
-    y0, _ = datasets.dequantize_logit(x_train_i, jax.random.PRNGKey(7), alpha=ALPHA)
-    m = jnp.mean(y0, axis=0)
-    s = jnp.std(y0, axis=0) + 1e-3
-    log_s_sum = float(jnp.sum(jnp.log(s)))
+    # canonical split + standardization (shared with tests/test_digits.py)
+    x_train_i, x_test_i = datasets.digits_split()
+    m, s, log_s_sum, y0 = datasets.digits_standardizer(x_train_i, alpha=ALPHA)
 
     icnf, icnf_eval = build(args.hidden, args.precision)
     params = icnf.init(jax.random.PRNGKey(0))
@@ -154,7 +140,9 @@ def main():
 
     def run_chunk(params, opt_state, key):
         res = model.fit(x_train_i, params=params, opt_state=opt_state, key=key)
-        return res.params, res.opt_state, res.key, res.history[-1]
+        # final_loss is the chunk's LAST step (history[-1] would be the last
+        # *logged* step, which at this log cadence is the chunk's first)
+        return res.params, res.opt_state, res.key, res.stats["final_loss"]
 
     @jax.jit
     def eval_bpd(params, x_int, key):

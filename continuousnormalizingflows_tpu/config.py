@@ -83,6 +83,12 @@ class ProbeDist(str, enum.Enum):
     RADEMACHER = "rademacher"  # lower-variance alternative for the trace
 
 
+# Hard cap on the multistep history ring; the single source of truth for the
+# config bound AND ops.ode's _ABM_MAX/_MILNE table length (reference VCABM
+# adapts order 1-12; raising this needs Milne factors for the new orders).
+ABM_MAX_ORDER = 8
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """ODE solve + gradient configuration.
@@ -132,15 +138,18 @@ class SolverConfig:
     # The solver adapts order 1..abm_order per step, VCABM-style (reference
     # VCABM adapts 1-12, icnf.jl:89).  Measured (PARITY.md): at the reference
     # tolerance 1e-4 order 4 suffices; at rtol <= 1e-6 a capped order-4
-    # method's step count blows up — raise to 8 for tight tolerances.
+    # method's step count blows up — raise to ABM_MAX_ORDER (8) for tight
+    # tolerances.
     abm_order: int = 4
 
     def __post_init__(self) -> None:
         adaptive = ("dopri5", "tsit5", "abm")
         if self.method not in adaptive + ("rk4", "euler"):
             raise ValueError(f"unknown ODE method {self.method!r}")
-        if not 1 <= self.abm_order <= 8:
-            raise ValueError(f"abm_order must be in [1, 8], got {self.abm_order}")
+        if not 1 <= self.abm_order <= ABM_MAX_ORDER:
+            raise ValueError(
+                f"abm_order must be in [1, {ABM_MAX_ORDER}], got {self.abm_order}"
+            )
         if self.gradient not in ("adjoint", "quadrature", "backprop"):
             raise ValueError(f"unknown gradient mode {self.gradient!r}")
         if self.gradient == "backprop" and self.method in adaptive:
@@ -245,6 +254,10 @@ class ICNFConfig:
             object.__setattr__(self, "probe_dist", ProbeDist(self.probe_dist))
         if self.layout not in ("batch_first", "feature_first"):
             raise ValueError(f"unknown layout {self.layout!r}")
+        if self.exact_chunk < 0:
+            raise ValueError(
+                f"exact_chunk must be >= 0 (0 = unchunked), got {self.exact_chunk}"
+            )
         object.__setattr__(self, "tspan", (float(self.tspan[0]), float(self.tspan[1])))
 
     # ---- derived sizes (reference icnf.jl:62-66, base_icnf.jl:13-21) ----

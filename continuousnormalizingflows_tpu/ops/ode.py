@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import SolverConfig
+from ..config import ABM_MAX_ORDER, SolverConfig
 
 __all__ = [
     "odeint",
@@ -353,15 +353,19 @@ _GL5 = (
 )
 
 # Milne error factors |C_AM / (C_AB - C_AM)| for the k-step pair on a uniform
-# grid (k = 1..8: 1/2, 1/6, 1/10, 19/270, 27/251, 863/9975, 2750/38174,
-# 67906/1103970), doubled for conservatism: on variable-step grids the
-# uniform-grid constants under-estimate (measured: global error tracked
-# ~20x tol on an oscillator; with the 2x margin it tracks ~5-8x, matching
-# what dopri5-class local error control delivers)
-_MILNE = (1.0, 1 / 3, 0.2, 19 / 135, 27 / 251 * 2, 863 / 9975 * 2,
-          2750 / 38174 * 2, 67906 / 1103970 * 2)
+# grid — true values for k = 1..8: 1/2, 1/6, 1/10, 19/270, 27/502, 863/19950,
+# 1375/38174, 33953/1103970 — doubled for conservatism: on variable-step
+# grids the uniform-grid constants under-estimate (measured: global error
+# tracked ~20x tol on an oscillator; with the 2x margin it tracks ~5-8x,
+# matching what dopri5-class local error control delivers).  (Round-3 review
+# found orders 5-8 accidentally carried a 4x margin — the tuple held
+# already-doubled values that were doubled again — biasing order selection
+# against promotion past 4 and shrinking high-order steps ~12%.)
+_MILNE = (1.0, 1 / 3, 0.2, 19 / 135, 27 / 251, 863 / 9975,
+          1375 / 19087, 33953 / 551985)
 
-_ABM_MAX = 8  # hard cap on the history ring (reference VCABM: order 1-12)
+_ABM_MAX = ABM_MAX_ORDER  # hard cap on the history ring (single source: config)
+assert len(_MILNE) == _ABM_MAX
 
 
 def _lagrange_quad_weights(taus: list, a, b) -> list:

@@ -62,7 +62,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ICNFConfig, Mode, SolverConfig, TraceEstimator
-from .ode import DOPRI5, SolverStats
+from .ode import DOPRI5, SolverStats, _DT_GIVE_UP
 from .pallas_solve import (
     LANE,
     F32,
@@ -141,10 +141,8 @@ def _controller(ratio, dt_c, safety, min_factor, max_factor):
     return finite, dt_c * jnp.where(finite, factor, min_factor)
 
 
-# give-up threshold (matches ops.ode._DT_GIVE_UP): non-finite at |dt| below
-# this fraction of the span means the field itself is non-finite — exit and
-# let the caller's poison fire instead of burning the step budget
-_DT_GIVE_UP = 1e-6
+# the give-up threshold is imported from ops.ode (_DT_GIVE_UP) so the XLA
+# and Pallas failure policies can never drift apart
 
 
 # ---------------------------------------------------------------------------

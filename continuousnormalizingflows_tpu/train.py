@@ -297,18 +297,6 @@ class ICNFModel:
                 lambda a: jnp.array(a, copy=True) if hasattr(a, "shape") else a,
                 opt_state,
             )
-        step_fn = self._make_step()
-
-        batch_sharding = None
-        if self.mesh is not None:
-            from .parallel.mesh import data_sharding
-
-            # batches are gathered on host then placed with the data-axis
-            # sharding — indexing a pre-sharded dataset with a permutation
-            # would produce gather-dependent shardings that clash with the
-            # pjit signature
-            batch_sharding = data_sharding(self.mesh)
-
         history: List[float] = []
         it = 0
         t_start = time.perf_counter()
@@ -347,6 +335,16 @@ class ICNFModel:
             if it:
                 last_loss = float(losses[-1])
         else:
+            step_fn = self._make_step()
+            batch_sharding = None
+            if self.mesh is not None:
+                from .parallel.mesh import data_sharding
+
+                # batches are gathered on host then placed with the data-axis
+                # sharding — indexing a pre-sharded dataset with a permutation
+                # would produce gather-dependent shardings that clash with the
+                # pjit signature
+                batch_sharding = data_sharding(self.mesh)
             for _epoch in range(self.epochs):
                 key, k_perm = jax.random.split(key)
                 for idx in self._batches(k_perm, n):

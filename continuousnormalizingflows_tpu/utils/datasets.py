@@ -208,6 +208,41 @@ def logit_to_levels(y: jax.Array, levels: int = DIGITS_LEVELS,
     return jnp.clip(z * levels, 0.0, levels - 1.0)
 
 
+def digits_split(n_train: int = 1500, seed: int = 42):
+    """Canonical shuffled digits train/test split — the SINGLE definition
+    shared by benchmarks/digits_bitsdim.py and tests/test_digits.py so the
+    test's measured-threshold provenance cannot silently diverge from the
+    benchmark it cites."""
+    import numpy as np
+
+    x_all = np.asarray(digits_data(), np.float32)
+    perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(seed), len(x_all)))
+    return jnp.asarray(x_all[perm[:n_train]]), jnp.asarray(x_all[perm[n_train:]])
+
+
+def digits_standardizer(x_train_i: jax.Array, alpha: float = 0.05,
+                        seed: int = 7):
+    """Per-dim standardization constants from ONE train dequantization draw
+    (a fixed diagonal affine layer of the model; its log|det| enters the
+    likelihood).  Returns ``(m, s, log_s_sum, y0)`` with ``y0`` the drawn
+    train logits (reused for Gaussian baselines)."""
+    y0, _ = dequantize_logit(x_train_i, jax.random.PRNGKey(seed), alpha=alpha)
+    m = jnp.mean(y0, axis=0)
+    s = jnp.std(y0, axis=0) + 1e-3
+    return m, s, float(jnp.sum(jnp.log(s))), y0
+
+
+def diagonal_gaussian_logp(y_train: jax.Array, y_test: jax.Array) -> jax.Array:
+    """log-density of test points under a diagonal Gaussian fitted on train —
+    the 'did the flow learn anything' yardstick real data substitutes for an
+    analytic pdf."""
+    mu = jnp.mean(y_train, axis=0)
+    v = jnp.var(y_train, axis=0) + 1e-6
+    return -0.5 * jnp.sum(
+        jnp.log(2 * jnp.pi * v) + (y_test - mu) ** 2 / v, axis=-1
+    )
+
+
 def quantized_bits_per_dim(logp_y: jax.Array, ldj: jax.Array, d: int,
                            levels: int = DIGITS_LEVELS) -> jax.Array:
     """bits/dim of the *quantized* data under the dequantization bound:

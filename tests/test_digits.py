@@ -31,14 +31,10 @@ BATCH = 128
 
 @pytest.fixture(scope="module")
 def digits_fit():
-    x_all = np.asarray(datasets.digits_data(), np.float32)
-    perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(42), len(x_all)))
-    x_train_i = jnp.asarray(x_all[perm[:1500]])
-    x_test_i = jnp.asarray(x_all[perm[1500:]])
-
-    y0, _ = datasets.dequantize_logit(x_train_i, jax.random.PRNGKey(7), alpha=ALPHA)
-    m, s = jnp.mean(y0, axis=0), jnp.std(y0, axis=0) + 1e-3
-    log_s_sum = float(jnp.sum(jnp.log(s)))
+    # canonical split + standardization — SHARED with the benchmark whose
+    # measured numbers set these thresholds (utils.datasets helpers)
+    x_train_i, x_test_i = datasets.digits_split()
+    m, s, log_s_sum, y0 = datasets.digits_standardizer(x_train_i, alpha=ALPHA)
 
     cfg = cnf.ICNFConfig(
         nvariables=D, naugments=0, lambda_1=0.01, lambda_2=0.01, lambda_3=0.0,
@@ -94,10 +90,9 @@ def digits_fit():
     bpd_test = bpd_on(x_test_i, k_ev)
     bpd_train = bpd_on(x_train_i[:512], k_ev)
 
-    # diagonal-Gaussian yardstick on the same test draw
+    # diagonal-Gaussian yardstick on the same test draw (shared formula)
     y_te, ldj_te = datasets.dequantize_logit(x_test_i, k_ev, alpha=ALPHA)
-    v = jnp.var(y0, axis=0) + 1e-6
-    logp_g = -0.5 * jnp.sum(jnp.log(2 * jnp.pi * v) + (y_te - jnp.mean(y0, 0)) ** 2 / v, axis=-1)
+    logp_g = datasets.diagonal_gaussian_logp(y0, y_te)
     bpd_gauss = float(jnp.mean(datasets.quantized_bits_per_dim(logp_g, ldj_te, D)))
     return losses, bpd_train, bpd_test, bpd_gauss
 

@@ -122,7 +122,7 @@ def test_abm_adaptive_order_wins_at_tight_tolerance(x64):
     """The VCABM-class promise (reference icnf.jl:89 — adaptive order):
     at rtol 1e-10 (f64 territory; f32 noise-floors below ~1e-7) the order-8
     multistep must beat both the order-4 cap (its step count collapses:
-    measured 279 vs 121 NFE) and dopri5 (169 NFE) on a smooth field."""
+    measured 279 vs 113 NFE) and dopri5 (169 NFE) on a smooth field."""
     import functools
 
     from continuousnormalizingflows_tpu.ops.ode import odeint
@@ -148,4 +148,4 @@ def test_abm_adaptive_order_wins_at_tight_tolerance(x64):
         assert float(jnp.max(jnp.abs(y1 - ref))) < 1e-8, name
         nfes[name] = int(st.nfe)
     assert nfes["abm8"] < nfes["dopri5"], nfes
-    assert nfes["abm8"] < 0.6 * nfes["abm4"], nfes  # measured: 121 vs 279
+    assert nfes["abm8"] < 0.6 * nfes["abm4"], nfes  # measured: 113 vs 279

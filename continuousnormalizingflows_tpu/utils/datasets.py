@@ -208,16 +208,24 @@ def logit_to_levels(y: jax.Array, levels: int = DIGITS_LEVELS,
     return jnp.clip(z * levels, 0.0, levels - 1.0)
 
 
-def digits_split(n_train: int = 1500, seed: int = 42):
+def digits_split(n_train: int = 1500, seed: int = 42, with_labels: bool = False):
     """Canonical shuffled digits train/test split — the SINGLE definition
     shared by benchmarks/digits_bitsdim.py and tests/test_digits.py so the
     test's measured-threshold provenance cannot silently diverge from the
-    benchmark it cites."""
+    benchmark it cites.  With ``with_labels`` also returns the 0-9 class
+    labels (for conditional models): ``(x_tr, x_te, y_tr, y_te)``."""
     import numpy as np
+    from sklearn.datasets import load_digits
 
-    x_all = np.asarray(digits_data(), np.float32)
+    ds = load_digits()
+    x_all = np.asarray(ds.data, np.float32)
     perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(seed), len(x_all)))
-    return jnp.asarray(x_all[perm[:n_train]]), jnp.asarray(x_all[perm[n_train:]])
+    xs = jnp.asarray(x_all[perm[:n_train]]), jnp.asarray(x_all[perm[n_train:]])
+    if not with_labels:
+        return xs
+    labels = np.asarray(ds.target, np.int32)
+    return xs + (jnp.asarray(labels[perm[:n_train]]),
+                 jnp.asarray(labels[perm[n_train:]]))
 
 
 def digits_standardizer(x_train_i: jax.Array, alpha: float = 0.05,

@@ -116,6 +116,29 @@ class TestAccuracy:
         assert abs(float(ga) - 3 * jnp.exp(0.3)) < 1e-3
         assert jnp.max(jnp.abs(gy0 - jnp.exp(0.3))) < 1e-3
 
+    @pytest.mark.parametrize("order", [2, 3, 5, 6, 8])
+    @pytest.mark.parametrize("direction", ["fwd", "rev"])
+    def test_abm_order_sweep_matches_dopri5(self, order, direction):
+        """Property check across the order-adaptation range (incl. the mid
+        orders whose Milne factors the round-3 review corrected): every
+        abm_order cap, in both time directions, must agree with a
+        tight-tolerance dopri5 reference on a random smooth field."""
+        key = jax.random.PRNGKey(order)
+        w = 0.6 * jax.random.normal(key, (6, 6))
+
+        def f_rand(t, y, args):
+            return jnp.tanh(y @ w.T) - 0.3 * y + 0.2 * jnp.cos(2 * t)
+
+        y0 = jnp.linspace(-1.0, 1.0, 6)[None, :]
+        t0, t1 = (0.0, 2.0) if direction == "fwd" else (2.0, 0.0)
+        ref, _ = jsolve(f_rand, y0, t0, t1, None,
+                        SolverConfig(method="dopri5", rtol=1e-9, atol=1e-9))
+        cfg = SolverConfig(method="abm", rtol=1e-5, atol=1e-5, abm_order=order)
+        y1, stats = jsolve(f_rand, y0, t0, t1, None, cfg)
+        assert float(jnp.max(jnp.abs(y1 - ref))) < 1e-3, (order, direction)
+        # PECE economy invariant holds at every order
+        assert int(stats.nfe) == 1 + 2 * (int(stats.naccept) + int(stats.nreject))
+
     def test_abm_budget_exhaustion_is_loud(self):
         cfg = SolverConfig(method="abm", max_steps=3)
         y1, _ = jsolve(f_decay, jnp.ones((2,)), 0.0, 1.0, None, cfg)

@@ -295,6 +295,33 @@ def test_batch_transform_hook():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_batch_transform_conditional():
+    """batch_transform augments features only; labels ride through exact —
+    and the conditional block path matches the per-step path bit-for-bit."""
+    from continuousnormalizingflows_tpu.utils import datasets as ds
+
+    icnf = cnf.ICNF.create(nvariables=2, nconditions=1, solver=FAST_TRAIN)
+    rng = np.random.default_rng(0)
+    x_int = jnp.asarray(rng.integers(0, 17, size=(64, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(64, 1)), jnp.float32)
+    p0 = icnf.init(jax.random.PRNGKey(4))
+    kw = dict(batchsize=16, epochs=2, key=jax.random.PRNGKey(9))
+
+    def deq(k, xb):
+        yb, _ = ds.dequantize_logit(xb, k, levels=17)
+        return 0.25 * yb
+
+    a = cnf.CondICNFModel(icnf, batch_transform=deq, **kw).fit(x_int, y, params=p0)
+    b = cnf.CondICNFModel(
+        icnf, batch_transform=deq, steps_per_dispatch=4, **kw
+    ).fit(x_int, y, params=p0)
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(a.params), jax.tree_util.tree_leaves(b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert np.isfinite(a.stats["final_loss"])
+
+
 def test_fit_chunks_reuse_compiled_step():
     """Repeated fit() calls (the eval-between-chunks warm-start loop) reuse
     ONE jitted step: _make_step/_make_block_step memoize their closures, so

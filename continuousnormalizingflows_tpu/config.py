@@ -84,9 +84,9 @@ class ProbeDist(str, enum.Enum):
 
 
 # Hard cap on the multistep history ring; the single source of truth for the
-# config bound AND ops.ode's _ABM_MAX/_MILNE table length (reference VCABM
-# adapts order 1-12; raising this needs Milne factors for the new orders).
-ABM_MAX_ORDER = 8
+# config bound AND ops.ode's _ABM_MAX/_MILNE table length.  12 matches the
+# reference VCABM's full order range (icnf.jl:89 / OrdinaryDiffEq VCABM).
+ABM_MAX_ORDER = 12
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,8 +138,9 @@ class SolverConfig:
     # The solver adapts order 1..abm_order per step, VCABM-style (reference
     # VCABM adapts 1-12, icnf.jl:89).  Measured (PARITY.md): at the reference
     # tolerance 1e-4 order 4 suffices; at rtol <= 1e-6 a capped order-4
-    # method's step count blows up — raise to ABM_MAX_ORDER (8) for tight
-    # tolerances.
+    # method's step count blows up — raise toward ABM_MAX_ORDER (12) for
+    # tight tolerances (orders >= 9 need float64 state: their Milne error
+    # estimates sit below float32 resolution).
     abm_order: int = 4
 
     def __post_init__(self) -> None:

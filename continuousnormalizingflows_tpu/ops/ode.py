@@ -342,18 +342,24 @@ def odeint_dopri5(
 # variable-step Adams-Bashforth-Moulton PECE (the reference's solver class)
 # ---------------------------------------------------------------------------
 
-# 5-point Gauss-Legendre on [-1, 1]: exact for polynomials to degree 9, which
-# covers every Lagrange basis polynomial used below (degree <= _ABM_MAX - 1)
-_GL5 = (
-    (-0.9061798459386640, 0.23692688505618908),
-    (-0.5384693101056831, 0.47862867049936647),
-    (0.0, 0.5688888888888889),
-    (0.5384693101056831, 0.47862867049936647),
-    (0.9061798459386640, 0.23692688505618908),
+# 7-point Gauss-Legendre on [-1, 1]: exact for polynomials to degree 13, which
+# covers every Lagrange basis polynomial used below (degree <= _ABM_MAX - 1 =
+# 11 at the VCABM-parity order cap of 12)
+_GL7 = (
+    (-0.9491079123427585, 0.1294849661688706),
+    (-0.7415311855993945, 0.2797053914892766),
+    (-0.4058451513773972, 0.3818300505051183),
+    (0.0, 0.4179591836734690),
+    (0.4058451513773972, 0.3818300505051183),
+    (0.7415311855993945, 0.2797053914892766),
+    (0.9491079123427585, 0.1294849661688706),
 )
 
 # Milne error factors |C_AM / (C_AB - C_AM)| for the k-step pair on a uniform
-# grid — true values for k = 1..8: 1/2, 1/6, 1/10, 19/270, 27/502, 863/19950,
+# grid.  Closed form from the Adams-Bashforth gamma recurrence
+# (sum_{j<=m} gamma_j/(m+1-j) = 1, gamma*_k = gamma_k - gamma_{k-1}):
+# factor_k = |gamma*_k| / (gamma_k + |gamma*_k|) = 1 - gamma_k/gamma_{k-1};
+# true values for k = 1..8: 1/2, 1/6, 1/10, 19/270, 27/502, 863/19950,
 # 1375/38174, 33953/1103970 — doubled for conservatism: on variable-step
 # grids the uniform-grid constants under-estimate (measured: global error
 # tracked ~20x tol on an oscillator; with the 2x margin it tracks ~5-8x,
@@ -362,7 +368,9 @@ _GL5 = (
 # already-doubled values that were doubled again — biasing order selection
 # against promotion past 4 and shrinking high-order steps ~12%.)
 _MILNE = (1.0, 1 / 3, 0.2, 19 / 135, 27 / 251, 863 / 9975,
-          1375 / 19087, 33953 / 551985)
+          1375 / 19087, 33953 / 551985,
+          57281 / 1070017, 3250433 / 68730849,
+          1135053 / 26842253, 13695779093 / 358650016725)
 
 _ABM_MAX = ABM_MAX_ORDER  # hard cap on the history ring (single source: config)
 assert len(_MILNE) == _ABM_MAX
@@ -370,27 +378,34 @@ assert len(_MILNE) == _ABM_MAX
 
 def _lagrange_quad_weights(taus: list, a, b) -> list:
     """``w_j = ∫_a^b l_j(s) ds`` for the Lagrange basis on nodes ``taus``
-    (python list of traced scalars; static count).  Via GL5 — exact.
+    (python list of traced scalars; static count).  Via GL7 — exact.
+
+    Vectorized over (GL points x basis x nodes) as one (7, k, k) tensor
+    contraction rather than unrolled scalar loops: the unrolled form traced
+    O(k^2 * 7) scalar ops per order, which across the order-selection
+    ``lax.switch`` (K branches x 3 candidate orders) made compile time the
+    dominant cost of ``abm_order = 12`` solves (~2.5 min CPU compiles;
+    vectorized: seconds).
 
     Division is guarded against coincident nodes: during order buildup the
     ring's stale slots duplicate ``t0``; weights built from them are garbage
     but must be *finite* garbage (they are masked by the caller's validity
     flags — an Inf/NaN would leak through ``where``)."""
+    k = len(taus)
+    t = jnp.stack([jnp.asarray(tj) for tj in taus])  # (k,)
+    wdt = t.dtype
     mid, half = 0.5 * (a + b), 0.5 * (b - a)
-    ws = []
-    for j, tj in enumerate(taus):
-        acc = 0.0
-        for xi, om in _GL5:
-            s = mid + half * xi
-            lj = 1.0
-            for m, tm in enumerate(taus):
-                if m != j:
-                    d = tj - tm
-                    d = jnp.where(d == 0, jnp.ones_like(d), d)
-                    lj = lj * (s - tm) / d
-            acc = acc + om * lj
-        ws.append(half * acc)
-    return ws
+    xi = jnp.asarray([x for x, _ in _GL7], wdt)
+    om = jnp.asarray([w for _, w in _GL7], wdt)
+    s = mid + half * xi  # (7,)
+    num = s[:, None] - t[None, :]  # (7, m): s - t_m
+    diff = t[:, None] - t[None, :]  # (j, m): t_j - t_m
+    diff = jnp.where(diff == 0, jnp.ones_like(diff), diff)
+    ratio = num[:, None, :] / diff[None, :, :]  # (7, j, m)
+    mask = jnp.eye(k, dtype=bool)[None, :, :]  # m == j factor excluded
+    basis = jnp.prod(jnp.where(mask, jnp.ones_like(ratio), ratio), axis=-1)
+    ws = half * jnp.sum(om[:, None] * basis, axis=0)  # (k,)
+    return [ws[j] for j in range(k)]
 
 
 def _abm_weights_order(k: int, K: int, ts_h, t_new):
@@ -466,7 +481,7 @@ def odeint_abm(
 
     * history = ring of the last ``K = cfg.abm_order`` ``(t, f)`` pairs;
     * integration weights recomputed each step from the actual node times via
-      Lagrange-basis GL5 quadrature (the variable-coefficient part of VCABM)
+      Lagrange-basis GL7 quadrature (the variable-coefficient part of VCABM)
       — a handful of scalar ops, negligible next to one dynamics eval;
     * PECE: predict (Adams-Bashforth over history), evaluate, correct
       (Adams-Moulton incl. the new node), evaluate — the 2nd eval seeds the

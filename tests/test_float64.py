@@ -142,6 +142,8 @@ def test_abm_adaptive_order_wins_at_tight_tolerance(x64):
         ("dopri5", SolverConfig(method="dopri5", rtol=1e-10, atol=1e-10)),
         ("abm4", SolverConfig(method="abm", rtol=1e-10, atol=1e-10, abm_order=4)),
         ("abm8", SolverConfig(method="abm", rtol=1e-10, atol=1e-10, abm_order=8)),
+        ("abm12", SolverConfig(method="abm", rtol=1e-10, atol=1e-10,
+                               abm_order=12)),
     ]:
         y1, st = solve(cfg)
         # each method's global error must track its tolerance class
@@ -149,3 +151,37 @@ def test_abm_adaptive_order_wins_at_tight_tolerance(x64):
         nfes[name] = int(st.nfe)
     assert nfes["abm8"] < nfes["dopri5"], nfes
     assert nfes["abm8"] < 0.6 * nfes["abm4"], nfes  # measured: 113 vs 279
+    assert nfes["abm12"] < nfes["abm8"], nfes  # measured: 91 vs 113
+
+
+def test_abm_order_12_at_extreme_tolerance(x64):
+    """Full VCABM order-range parity (reference adapts order 1-12): at rtol
+    1e-12 over a long span — the multistep's home turf — order 12 must beat
+    order 8 decisively and dopri5 by ~5x NFE (measured: 669 / 1033 / 3451)."""
+    import functools
+
+    from continuousnormalizingflows_tpu.ops.ode import odeint
+
+    def f(t, y, args):
+        return jnp.tanh(y[::-1]) - 0.5 * y + jnp.sin(3 * t)
+
+    y0 = jnp.linspace(-1.0, 1.0, 8).astype(jnp.float64)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def solve(cfg):
+        return odeint(f, y0, 0.0, 10.0, None, cfg)
+
+    ref, _ = solve(SolverConfig(method="dopri5", rtol=1e-13, atol=1e-13))
+    nfes = {}
+    for name, cfg in [
+        ("dopri5", SolverConfig(method="dopri5", rtol=1e-12, atol=1e-12)),
+        ("abm8", SolverConfig(method="abm", rtol=1e-12, atol=1e-12,
+                              abm_order=8)),
+        ("abm12", SolverConfig(method="abm", rtol=1e-12, atol=1e-12,
+                               abm_order=12)),
+    ]:
+        y1, st = solve(cfg)
+        assert float(jnp.max(jnp.abs(y1 - ref))) < 1e-10, name
+        nfes[name] = int(st.nfe)
+    assert nfes["abm12"] < 0.75 * nfes["abm8"], nfes  # measured: 669 vs 1033
+    assert nfes["abm12"] < 0.25 * nfes["dopri5"], nfes  # measured: 669 vs 3451

@@ -28,11 +28,12 @@ from continuousnormalizingflows_tpu.utils import datasets
 STEPS = 10
 
 
-def bench(gradient: str, batch: int, seminorm: bool = True):
+def bench(gradient: str, batch: int, seminorm: bool = True,
+          method: str = "dopri5"):
     icnf = cnf.ICNF.create(
         nvariables=2,
         solver=SolverConfig(
-            method="dopri5", rtol=1e-4, atol=1e-4, gradient=gradient,
+            method=method, rtol=1e-4, atol=1e-4, gradient=gradient,
             adjoint_seminorm=seminorm,
         ),
     )
@@ -72,11 +73,14 @@ def bench(gradient: str, batch: int, seminorm: bool = True):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--method", default="dopri5",
+                    help="dopri5 | tsit5 | abm (abm+quadrature = the "
+                         "reference-default VCABM+QuadratureAdjoint stack)")
     args = ap.parse_args()
-    print("device:", jax.devices()[0], flush=True)
+    print("device:", jax.devices()[0], "method:", args.method, flush=True)
 
-    t_bs, l_bs, g_bs = bench("adjoint", args.batch)
-    t_q, l_q, g_q = bench("quadrature", args.batch)
+    t_bs, l_bs, g_bs = bench("adjoint", args.batch, method=args.method)
+    t_q, l_q, g_q = bench("quadrature", args.batch, method=args.method)
 
     diff = max(
         float(jnp.max(jnp.abs(a - b)))

@@ -70,6 +70,10 @@ def main():
         "quadrature": SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4,
                                    gradient="quadrature"),
         "tsit5": SolverConfig(method="tsit5", rtol=1e-4, atol=1e-4, gradient="adjoint"),
+        # the reference's DEFAULT stack, solver-class for solver-class:
+        # VCABM forward + QuadratureAdjoint backward (icnf.jl:89-99)
+        "abm_quad": SolverConfig(method="abm", rtol=1e-4, atol=1e-4,
+                                 gradient="quadrature"),
     }
 
     rows = []

@@ -158,11 +158,11 @@ class SolverConfig:
                 "backprop gradients require a fixed-step method (rk4/euler); "
                 "use gradient='adjoint' with an adaptive method"
             )
-        if self.gradient == "quadrature" and self.method not in ("dopri5", "tsit5"):
+        if self.gradient == "quadrature" and self.method not in adaptive:
             raise ValueError(
                 "the interpolation (quadrature) adjoint needs an adaptive "
-                "dense-output solver (dopri5/tsit5); fixed-step methods "
-                "support gradient='backprop', abm supports gradient='adjoint'"
+                "dense-output solver (dopri5/tsit5/abm); fixed-step methods "
+                "support gradient='backprop'"
             )
 
 

@@ -335,7 +335,7 @@ def log_prob(
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _trajectory_impl(icnf: ICNF, xs, params, ts, ys):
-    from .ops.ode import eval_dense, odeint_dopri5_dense
+    from .ops.ode import eval_dense, odeint_dense
 
     cfg = icnf.config
     batch = xs.shape[0]
@@ -350,9 +350,9 @@ def _trajectory_impl(icnf: ICNF, xs, params, ts, ys):
     args = {"params": params, "eps": None, "ys": ys}
     t0, t1 = cfg.tspan
     solver = cfg.solver
-    if solver.method not in ("dopri5", "tsit5"):
+    if solver.method not in ("dopri5", "tsit5", "abm"):
         solver = dataclasses.replace(solver, method="dopri5", gradient="adjoint")
-    _u1, stats, dense = odeint_dopri5_dense(f_aug, u0, t0, t1, args, solver)
+    _u1, stats, dense = odeint_dense(f_aug, u0, t0, t1, args, solver)
     path = jax.vmap(lambda t: eval_dense(dense, t))(ts)  # (T, batch, state)
     return path[..., : cfg.nz], stats
 

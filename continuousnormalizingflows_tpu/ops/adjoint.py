@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SolverConfig
-from .ode import eval_dense, odeint, odeint_dopri5_dense
+from .ode import eval_dense, odeint, odeint_dense
 
 __all__ = ["odeint_diff"]
 
@@ -135,14 +135,14 @@ _odeint_adjoint.defvjp(_adjoint_fwd, _adjoint_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _odeint_quadrature(f, cfg: SolverConfig, y0, t0, t1, args_d, args_nd):
-    y1, nfe, _dense = odeint_dopri5_dense(
+    y1, nfe, _dense = odeint_dense(
         f, y0, t0, t1, _merge_args(args_d, args_nd), cfg
     )
     return y1, nfe
 
 
 def _quadrature_fwd(f, cfg, y0, t0, t1, args_d, args_nd):
-    y1, nfe, dense = odeint_dopri5_dense(
+    y1, nfe, dense = odeint_dense(
         f, y0, t0, t1, _merge_args(args_d, args_nd), cfg
     )
     return (y1, nfe), (y1, dense, t0, t1, args_d, args_nd)
@@ -214,7 +214,10 @@ def odeint_diff(
     ``backprop`` requires a fixed-step method (enforced by
     :class:`~continuousnormalizingflows_tpu.config.SolverConfig`);
     ``quadrature`` (interpolation adjoint — the closest analogue of the
-    reference's ``QuadratureAdjoint``, icnf.jl:90-99) requires ``dopri5``;
+    reference's ``QuadratureAdjoint``, icnf.jl:90-99) requires an adaptive
+    dense-output method (dopri5/tsit5/abm — ``abm`` + ``quadrature`` is the
+    solver-class-for-solver-class mirror of the reference's default
+    VCABM + QuadratureAdjoint stack);
     ``adjoint`` (backsolve) works with any method and is the default.
 
     On the two continuous-adjoint paths, a dict-style ``args`` containing an

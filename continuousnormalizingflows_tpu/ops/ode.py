@@ -39,6 +39,8 @@ __all__ = [
     "odeint_dopri5",
     "odeint_abm",
     "odeint_dopri5_dense",
+    "odeint_abm_dense",
+    "odeint_dense",
     "DenseSolution",
     "SolverStats",
     "eval_dense",
@@ -471,7 +473,8 @@ def odeint_abm(
     args: Pytree,
     cfg: SolverConfig,
     error_weight: Pytree = None,
-) -> Tuple[Pytree, "SolverStats"]:
+    with_dense: bool = False,
+):
     """Variable-step, variable-ORDER Adams-Bashforth-Moulton PECE — the
     reference's solver class (VCABM, adaptive order *and* step, reference
     ``src/core/icnf.jl:89``) at ~2 new f-evals per step vs 6 per dopri5 trial.
@@ -503,6 +506,14 @@ def odeint_abm(
     NFE than dopri5; the high orders pay off at tight tolerances where a
     fixed order-4 method's step count blows up — measured A/B at rtol
     {1e-4, 1e-6} in benchmarks/abm_ab.py / PARITY.md.
+
+    ``with_dense=True`` (static) additionally records the accepted nodes
+    ``(t, y_corr, f_corr)`` into a :class:`DenseSolution` and returns
+    ``(y1, stats, dense)`` — the PECE second evaluate *is* the node
+    derivative, so dense output costs no extra f-evals (same economy as the
+    dopri5 FSAL stage).  This is what pairs ``method="abm"`` with
+    ``gradient="quadrature"``: the reference's DEFAULT solve+sensitivity
+    combination (VCABM + QuadratureAdjoint, icnf.jl:89-99).
     """
     K = int(getattr(cfg, "abm_order", 4))
     assert 1 <= K <= _ABM_MAX
@@ -522,15 +533,50 @@ def odeint_abm(
         lambda l: jnp.zeros((K,) + l.shape, l.dtype).at[0].set(l), f0
     )
 
+    if with_dense:
+        max_nodes = int(cfg.dense_max_nodes)
+
+        def write_node(bufs, idx, t, y, k):
+            b_s, b_y, b_f = bufs
+            idx = jnp.minimum(idx, max_nodes - 1)
+            s = ((t - t0) / span).astype(tdt)
+            b_s = b_s.at[idx].set(s)
+            b_y = jax.tree_util.tree_map(
+                lambda buf, l: lax.dynamic_update_index_in_dim(buf, l, idx, 0),
+                b_y, y,
+            )
+            b_f = jax.tree_util.tree_map(
+                lambda buf, l: lax.dynamic_update_index_in_dim(buf, l, idx, 0),
+                b_f, k,
+            )
+            return (b_s, b_y, b_f)
+
+        bufs0 = write_node(
+            (
+                jnp.full((max_nodes,), jnp.inf, tdt),
+                jax.tree_util.tree_map(
+                    lambda l: jnp.zeros((max_nodes,) + l.shape, l.dtype), y0
+                ),
+                jax.tree_util.tree_map(
+                    lambda l: jnp.zeros((max_nodes,) + l.shape, l.dtype), f0
+                ),
+            ),
+            jnp.int32(0), t0, y0, f0,
+        )
+        dense_tail = (bufs0, jnp.int32(1))
+    else:
+        dense_tail = ()
+
     def cond(state):
-        (t, _y, _dt, _ts, _fs, _nh, _ord, nfe, steps, nacc, done, fail) = state
+        (t, _y, _dt, _ts, _fs, _nh, _ord, nfe, steps, nacc, done,
+         fail) = state[:12]
         return jnp.logical_and(
             jnp.logical_not(jnp.logical_or(done, fail)), steps < cfg.max_steps
         )
 
     def body(state):
         (t, y, dt, ts_h, fs_h, n_h, order, nfe, steps, nacc, _done,
-         _fail) = state
+         _fail) = state[:12]
         remaining = t1 - t
         dt_c = direction * jnp.minimum(jnp.abs(dt), jnp.abs(remaining))
         t_new = t + dt_c
@@ -624,18 +670,60 @@ def odeint_abm(
             jnp.logical_not(finite),
             jnp.abs(dt_c) <= _DT_GIVE_UP * jnp.abs(span),
         )
+        if with_dense:
+            bufs, n = state[12:]
+            # node derivative = f at the corrected solution (the PECE second
+            # evaluate — already computed, zero extra cost)
+            bufs_acc = write_node(bufs, n, t_new, y_corr, f_corr)
+            bufs_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), bufs_acc, bufs
+            )
+            tail = (bufs_new, jnp.where(accept, n + 1, n))
+        else:
+            tail = ()
         return (t_out, y_out, dt_next, ts_out, fs_out, nh_out, ord_next,
-                nfe + 2, steps + 1, nacc + accept.astype(jnp.int32), done, fail)
+                nfe + 2, steps + 1, nacc + accept.astype(jnp.int32), done,
+                fail) + tail
 
     state0 = (t0, y0, dt_init, ts_h0, fs_h0, jnp.int32(1), jnp.int32(1),
               jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.asarray(False),
-              jnp.asarray(False))
+              jnp.asarray(False)) + dense_tail
+    out = lax.while_loop(cond, body, state0)
     (_t, y1, dt_f, _ts, _fs, _nh, _ord, nfe, steps, nacc, done,
-     _fail) = lax.while_loop(cond, body, state0)
-    y1 = jax.tree_util.tree_map(
-        lambda l: jnp.where(done, l, jnp.full_like(l, jnp.nan)), y1
+     _fail) = out[:12]
+    if not with_dense:
+        y1 = jax.tree_util.tree_map(
+            lambda l: jnp.where(done, l, jnp.full_like(l, jnp.nan)), y1
+        )
+        return y1, SolverStats(nfe, nacc, steps - nacc, dt_f)
+    # Same loud-failure policy as odeint_dopri5_dense: buffer overflow means
+    # the interpolant tail was clobbered — poison result AND interpolant.
+    (b_s, b_y, b_f), n = out[12:]
+    ok = jnp.logical_and(done, n <= max_nodes)
+    poison = lambda l: jnp.where(ok, l, jnp.full_like(l, jnp.nan))
+    y1 = jax.tree_util.tree_map(poison, y1)
+    b_y = jax.tree_util.tree_map(poison, b_y)
+    b_f = jax.tree_util.tree_map(poison, b_f)
+    dense = DenseSolution(
+        s=b_s, ys=b_y, fs=b_f, n=jnp.minimum(n, max_nodes), t0=t0, t1=t1
     )
-    return y1, SolverStats(nfe, nacc, steps - nacc, dt_f)
+    return y1, SolverStats(nfe, nacc, steps - nacc, dt_f), dense
+
+
+def odeint_abm_dense(
+    f: ODEFunc,
+    y0: Pytree,
+    t0: jax.Array,
+    t1: jax.Array,
+    args: Pytree,
+    cfg: SolverConfig,
+) -> Tuple[Pytree, "SolverStats", "DenseSolution"]:
+    """:func:`odeint_abm` with a :class:`DenseSolution` over the accepted
+    nodes — see ``with_dense`` there.  Together with the backward ABM solve in
+    ``ops.adjoint`` this reproduces the reference's default sensitivity stack
+    (VCABM forward + QuadratureAdjoint backward, icnf.jl:89-99) solver-class
+    for solver-class."""
+    return odeint_abm(f, y0, t0, t1, args, cfg, None, with_dense=True)
 
 
 # ---------------------------------------------------------------------------
@@ -884,3 +972,24 @@ def odeint(
     if cfg.method == "abm":
         return odeint_abm(f, y0, t0, t1, args, cfg, error_weight)
     return odeint_fixed(f, y0, t0, t1, args, cfg)
+
+
+def odeint_dense(
+    f: ODEFunc,
+    y0: Pytree,
+    t0: jax.Array,
+    t1: jax.Array,
+    args: Pytree,
+    cfg: SolverConfig,
+) -> Tuple[Pytree, SolverStats, DenseSolution]:
+    """Dense-output dispatch on ``cfg.method`` — every adaptive method
+    (dopri5/tsit5/abm) can return a :class:`DenseSolution`; used by the
+    interpolation (quadrature) adjoint and ``trajectory()``."""
+    if cfg.method in _TABLEAUS:
+        return odeint_dopri5_dense(f, y0, t0, t1, args, cfg)
+    if cfg.method == "abm":
+        return odeint_abm_dense(f, y0, t0, t1, args, cfg)
+    raise ValueError(
+        f"dense output needs an adaptive method (dopri5/tsit5/abm), got "
+        f"{cfg.method!r}"
+    )

@@ -115,7 +115,11 @@ class SolverConfig:
     #                solve of (a, q) only — the closest analogue of the
     #                reference's QuadratureAdjoint (icnf.jl:90-99); stabler on
     #                stiff/long flows (no y-reconstruction error), costs
-    #                O(dense_max_nodes) forward-state memory
+    #                O(dense_max_nodes) forward-state memory.  Measured on TPU
+    #                (PARITY.md): 0.92x of backsolve under dopri5 but **1.56x
+    #                FASTER** under abm (the multistep backsolve re-integrates
+    #                the primal backward) — pair method="abm" with this, as the
+    #                reference's default stack does (VCABM + QuadratureAdjoint)
     # "backprop"   — discretize-then-optimize (fixed-step methods only)
     gradient: str = "adjoint"
     remat: bool = True  # checkpoint each scan step in backprop mode

@@ -20,8 +20,8 @@ Quick start::
 """
 
 from .config import ICNFConfig, Mode, ProbeDist, SolverConfig, TraceEstimator
-from .core import (base_logpdf, generate, inference, log_prob, loss,
-                   loss_with_stats, trajectory)
+from .core import (base_logpdf, generate, generate_with_logp, inference,
+                   log_prob, loss, loss_with_stats, trajectory)
 from .dist import CondICNFDist, ICNFDist
 from .models.icnf import ICNF, default_net
 from .models.nets import MLP, CondLayer, DynamicsNet, Planar, from_flax, planar_h
@@ -46,6 +46,7 @@ __all__ = [
     "inference",
     "loss_with_stats",
     "generate",
+    "generate_with_logp",
     "loss",
     "log_prob",
     "trajectory",

@@ -48,6 +48,7 @@ __all__ = [
     "steer_t1",
     "inference",
     "generate",
+    "generate_with_logp",
     "loss",
     "loss_with_stats",
     "log_prob",
@@ -212,6 +213,72 @@ def _generate_impl(icnf: ICNF, mode: Mode, params, key, n: int, ys):
     return u_final[..., : cfg.nvariables]
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _generate_logp_impl(icnf: ICNF, mode: Mode, params, key, n: int, ys):
+    """Like :func:`_generate_impl` but also returns the exact log-density of
+    each sample, read off the SAME solve: the backward integration already
+    accumulates ``dlogp_b = ∫_{t1}^{t0} -tr(J) dt = -Δlogp_forward``, so
+    ``logp(x) = logpdf_base(z1) + dlogp_b`` — no second (inference) solve.
+    The reference discards the accumulator when sampling (``generate_sol``
+    strips it, base_icnf.jl:174-194) and needs a separate ``logpdf`` call per
+    sample batch; this returns the pair in one solve.  With augmentation on,
+    the density is over the full ``nz``-dim augmented state — the same
+    convention as ``inference`` (``_split_terminal``)."""
+    cfg = icnf.config
+    k_base, k_eps, k_steer = jax.random.split(key, 3)
+
+    z1 = sample_base(cfg, k_base, n)
+    u0 = jnp.concatenate([z1, jnp.zeros((n, 3), cfg.dtype)], axis=-1)
+
+    eps = sample_probe(cfg, k_eps, n) if mode.stochastic else None
+    t0, t1 = cfg.tspan
+    t1 = steer_t1(cfg, k_steer) if (mode.regularized and cfg.steered) else t1
+
+    u_final, _stats = _solve(icnf, mode, u0, t1, t0, params, eps, ys)
+    logpx = base_logpdf(cfg, z1) + u_final[..., cfg.nz]
+    return u_final[..., : cfg.nvariables], logpx
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _generate_tracefree_impl(icnf: ICNF, mode: Mode, params, key, n: int, ys):
+    """Trace-free sampling fast path: the flow map ``z(t1) → z(t0)`` does not
+    depend on the accumulator states (Δlogp, E, n never feed back into
+    ``dz/dt = f(z, t)``), so sampling integrates the bare field — no
+    per-step trace estimate (Hutchinson VJP ≈3x the matmuls of one field
+    eval; generic-net exact trace O(nz) sweeps).  The reference's
+    ``generate_prob`` always integrates the full augmented system
+    (base_icnf.jl:298-404) — this path is a TPU-first capability beyond it.
+
+    Keys are split exactly as in :func:`_generate_impl` (base/probe/steer),
+    so for the same ``key`` the base draw and steered end time are
+    *identical* to the full path; samples agree to solver tolerance (the
+    adaptive error norm no longer sees the accumulator components).
+    """
+    from .ops.dynamics import make_field
+
+    cfg = icnf.config
+    k_base, _k_eps, k_steer = jax.random.split(key, 3)
+
+    z1 = sample_base(cfg, k_base, n)
+    t0, t1 = cfg.tspan
+    t1 = steer_t1(cfg, k_steer) if (mode.regularized and cfg.steered) else t1
+
+    # batch-first field regardless of cfg.layout (same forcing as
+    # trajectory(); the (n, nz) state here is built batch-first)
+    field = make_field(cfg, icnf.net)
+
+    def f(t, z, args):
+        return field(t, z, args["params"], args["ys"])
+
+    solver = cfg.solver
+    if solver.gradient == "quadrature":
+        # the z-only state needs no dense interpolant; backsolve is exact
+        # for sampling (the backward pass re-integrates the bare field)
+        solver = dataclasses.replace(solver, gradient="adjoint")
+    z0, _stats = odeint_diff(f, z1, t1, t0, {"params": params, "ys": ys}, solver)
+    return z0[..., : cfg.nvariables]
+
+
 def _split_terminal(cfg: ICNFConfig, mode: Mode, u1: jax.Array):
     nz = cfg.nz
     z = u1[..., :nz]
@@ -275,14 +342,46 @@ def generate(
     key: jax.Array,
     n: int,
     ys: Optional[jax.Array] = None,
+    trace_free: bool = False,
 ) -> jax.Array:
     """Sample ``n`` points by integrating the flow backward t1 → t0
-    (``generate_prob``, base_icnf.jl:298-404)."""
+    (``generate_prob``, base_icnf.jl:298-404).
+
+    ``trace_free=True`` integrates the bare field ``dz/dt = f(z, t)`` instead
+    of the full augmented system — the sample distribution is identical (the
+    accumulator states never feed back into the flow), the per-step cost
+    drops by the whole trace estimate, and the same ``key`` yields the same
+    base draw/steer (samples match the default path to solver tolerance).
+    Default off for step-for-step reference parity (the reference always
+    integrates the augmented system when sampling)."""
     cfg = icnf.config
     if ys is not None:
         ys = jnp.asarray(ys, cfg.dtype)
         ys, _ = _as_batch(ys)
+    if trace_free:
+        return _generate_tracefree_impl(icnf, mode, params, key, int(n), ys)
     return _generate_impl(icnf, mode, params, key, int(n), ys)
+
+
+def generate_with_logp(
+    icnf: ICNF,
+    mode: Mode,
+    params: Pytree,
+    key: jax.Array,
+    n: int,
+    ys: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """``(samples, logp̂x)`` in ONE solve — the backward integration already
+    carries the log-density accumulator, so sample log-probabilities are free
+    (importance sampling / ELBO workflows otherwise pay a second full
+    inference solve per sample batch).  ``logp̂x`` matches
+    ``inference(icnf, mode, samples, ...)`` to solver tolerance; in TrainMode
+    it is the Hutchinson estimate, in TestMode exact."""
+    cfg = icnf.config
+    if ys is not None:
+        ys = jnp.asarray(ys, cfg.dtype)
+        ys, _ = _as_batch(ys)
+    return _generate_logp_impl(icnf, mode, params, key, int(n), ys)
 
 
 def loss(

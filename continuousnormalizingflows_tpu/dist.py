@@ -110,9 +110,25 @@ class ICNFDist:
     def pdf(self, x: jax.Array, key: Optional[jax.Array] = None) -> jax.Array:
         return jnp.exp(self.logpdf(x, key=key))
 
-    def sample(self, key: jax.Array, n: int) -> jax.Array:
-        """(n, nvariables) samples (reference ``_rand!`` = generate)."""
-        return generate(self.icnf, self.mode, self.params, key, n, ys=self._ys_for(n))
+    def sample(self, key: jax.Array, n: int, trace_free: bool = False) -> jax.Array:
+        """(n, nvariables) samples (reference ``_rand!`` = generate).
+
+        ``trace_free=True``: integrate only the bare field when sampling —
+        same distribution, per-step cost drops by the whole trace estimate
+        (see :func:`continuousnormalizingflows_tpu.core.generate`)."""
+        return generate(self.icnf, self.mode, self.params, key, n,
+                        ys=self._ys_for(n), trace_free=trace_free)
+
+    def sample_with_logpdf(self, key: jax.Array, n: int):
+        """``(samples, logpdf)`` from ONE solve — the backward integration
+        already carries the log-density accumulator (see
+        :func:`continuousnormalizingflows_tpu.core.generate_with_logp`).
+        With augmentation on, the density is over the augmented state (same
+        caveat as ``logpdf`` on augmented models)."""
+        from .core import generate_with_logp
+
+        return generate_with_logp(self.icnf, self.mode, self.params, key, n,
+                                  ys=self._ys_for(n))
 
     # numpy-style alias matching Distributions.rand(d, n)
     rand = sample

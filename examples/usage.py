@@ -62,6 +62,10 @@ d = cnf.ICNFDist(icnf, params, mode=Mode.TEST)
 actual_pdf = np.asarray(datasets.beta_pdf(r[:, 0]))
 estimated_pdf = np.asarray(d.pdf(r))
 new_data = d.sample(jax.random.PRNGKey(2), ndata)
+# fast sampling (bare-field integration — same distribution, skips the
+# per-step trace estimate) and one-solve (sample, logpdf) pairs:
+fast_data = d.sample(jax.random.PRNGKey(2), ndata, trace_free=True)
+pairs, pair_logp = d.sample_with_logpdf(jax.random.PRNGKey(3), 8)
 
 # ---- Evaluate It ----------------------------------------------------------
 mad_ = float(np.mean(np.abs(estimated_pdf - actual_pdf)))

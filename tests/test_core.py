@@ -124,6 +124,67 @@ def test_quadrature_gradient_full_model():
         assert jnp.max(jnp.abs(a - b)) < 2e-3, (a, b)
 
 
+def test_trace_free_sampling_matches_full_path():
+    """generate(trace_free=True) integrates the bare field; with the same key
+    the base draw and steer are identical, so samples must match the
+    augmented-system path to solver tolerance — in TestMode (exact trace
+    skipped), TrainMode (probe VJP skipped, steer active), and conditional."""
+    solver = SolverConfig(method="dopri5", rtol=1e-6, atol=1e-6)
+    key = jax.random.PRNGKey(5)
+
+    # TestMode, unconditional
+    icnf = make(nvariables=2, solver=solver)
+    params = icnf.init(jax.random.PRNGKey(7))
+    s_full = cnf.generate(icnf, Mode.TEST, params, key, 16)
+    s_fast = cnf.generate(icnf, Mode.TEST, params, key, 16, trace_free=True)
+    assert s_fast.shape == s_full.shape == (16, 2)
+    assert jnp.max(jnp.abs(s_fast - s_full)) < 1e-4
+
+    # TrainMode (stochastic probe skipped, steer draw must still agree)
+    s_full_tr = cnf.generate(icnf, Mode.TRAIN, params, key, 16)
+    s_fast_tr = cnf.generate(icnf, Mode.TRAIN, params, key, 16, trace_free=True)
+    assert jnp.max(jnp.abs(s_fast_tr - s_full_tr)) < 1e-4
+
+    # conditional
+    icnf_c = make(nvariables=2, nconditions=2, solver=solver)
+    params_c = icnf_c.init(jax.random.PRNGKey(8))
+    ys = jnp.tile(jnp.array([[1.0, -1.0]]), (8, 1))
+    s_full_c = cnf.generate(icnf_c, Mode.TEST, params_c, key, 8, ys=ys)
+    s_fast_c = cnf.generate(icnf_c, Mode.TEST, params_c, key, 8, ys=ys,
+                            trace_free=True)
+    assert jnp.max(jnp.abs(s_fast_c - s_full_c)) < 1e-4
+
+    # ICNFDist front-end passthrough
+    d = cnf.ICNFDist(icnf, params)
+    s_d = d.sample(key, 16, trace_free=True)
+    assert jnp.max(jnp.abs(s_d - s_full)) < 1e-4
+
+
+def test_generate_with_logp_matches_inference():
+    """(samples, logp) from one backward solve: logp must equal a separate
+    forward inference solve on those samples (sign/orientation check of the
+    accumulator read-off).  naugments=0 so the density is normalized over x
+    (with augmentation the augmented coords at t0 are path-dependent and a
+    zero-padded inference solve is a different point)."""
+    solver = SolverConfig(method="dopri5", rtol=1e-6, atol=1e-6)
+    icnf = make(nvariables=2, naugments=0, lambda_3=0.0, solver=solver)
+    params = icnf.init(jax.random.PRNGKey(7))
+    key = jax.random.PRNGKey(5)
+
+    s, lp = cnf.generate_with_logp(icnf, Mode.TEST, params, key, 16)
+    assert s.shape == (16, 2) and lp.shape == (16,)
+    # same key → identical samples as plain generate
+    s_plain = cnf.generate(icnf, Mode.TEST, params, key, 16)
+    assert jnp.max(jnp.abs(s - s_plain)) < 1e-6
+    lp_inf, _, _ = cnf.inference(icnf, Mode.TEST, s, params)
+    assert jnp.max(jnp.abs(lp - lp_inf)) < 1e-3, (lp, lp_inf)
+
+    # dist facade
+    d = cnf.ICNFDist(icnf, params)
+    s_d, lp_d = d.sample_with_logpdf(key, 16)
+    assert jnp.max(jnp.abs(lp_d - lp)) < 1e-6
+
+
 def test_abm_quadrature_full_model():
     """method='abm' + gradient='quadrature' — the solver-class-for-solver-class
     mirror of the reference's DEFAULT sensitivity stack (VCABM forward +

@@ -123,7 +123,15 @@ class SolverConfig:
     # "backprop"   — discretize-then-optimize (fixed-step methods only)
     gradient: str = "adjoint"
     remat: bool = True  # checkpoint each scan step in backprop mode
-    dt0: float = 0.01  # initial trial step (fraction handled by controller)
+    # Initial trial step for the adaptive RK methods: "auto" (default) = the
+    # Hairer-Nørsett-Wanner starting-step algorithm (one extra f eval) — what
+    # the reference's SciML solve does with no dt given, and measurably
+    # cheaper than any fixed guess on trained CNF fields (dopri5 NFE 25→20
+    # TRAIN / 37→32 TEST, tsit5 25→20 at rtol 1e-4; PARITY.md).  A float
+    # fixes the start to that fraction of the span (the pre-round-3
+    # behavior was 0.01).  ABM always uses the fixed-fraction start (its
+    # order-1 ramp needs small early steps; measured in ops.ode).
+    dt0: Any = "auto"
     # node-buffer capacity for the dense forward interpolant ("quadrature"
     # gradients and trajectory()); each node stores (y, f).  Sizing rule:
     # must be >= accepted steps + 1.  At rtol 1e-4 CNF solves accept ~4-40
@@ -157,6 +165,13 @@ class SolverConfig:
             )
         if self.gradient not in ("adjoint", "quadrature", "backprop"):
             raise ValueError(f"unknown gradient mode {self.gradient!r}")
+        if isinstance(self.dt0, str):
+            if self.dt0 != "auto":
+                raise ValueError(f'dt0 must be a float or "auto", got {self.dt0!r}')
+        elif not float(self.dt0) > 0.0:
+            # > 1 is legal: a deliberate overshoot start exercises the
+            # controller's reject-and-shrink path (tests/test_ode.py)
+            raise ValueError(f"dt0 must be positive, got {self.dt0!r}")
         if self.gradient == "backprop" and self.method in adaptive:
             raise ValueError(
                 "backprop gradients require a fixed-step method (rk4/euler); "

@@ -431,7 +431,9 @@ def _scfg_tuple(solver: SolverConfig):
     return (
         float(solver.rtol),
         float(solver.atol),
-        float(solver.dt0),
+        # the kernel's per-tile controller keeps a fixed start; dt0="auto"
+        # (the XLA paths' HNW starting-step algorithm) maps to the old default
+        0.01 if isinstance(solver.dt0, str) else float(solver.dt0),
         float(solver.safety),
         float(solver.min_factor),
         float(solver.max_factor),

@@ -418,6 +418,63 @@ class TestDenseOutput:
         assert jnp.max(jnp.abs(g_abm_quad - g_dp_quad)) < 1e-3
 
 
+class TestAutoDt0:
+    def test_validation(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            SolverConfig(dt0="bogus")
+        with pytest.raises(ValueError):
+            SolverConfig(dt0=0.0)
+        SolverConfig(dt0="auto")
+        SolverConfig(dt0=0.25)
+
+    def test_auto_start_saves_ramp_steps(self):
+        """The HNW starting-step algorithm (dt0="auto", the default — also the
+        reference's SciML behavior when no dt is given) must not cost NFE vs
+        the fixed 0.01 start, and must produce the same solution within
+        tolerance.  On smooth problems the fixed start pays 1-3 ramp steps."""
+        y0 = jnp.array([1.0, 2.0])
+
+        def run(dt0, rtol):
+            cfg = SolverConfig(method="dopri5", rtol=rtol, atol=rtol, dt0=dt0)
+
+            @jax.jit
+            def solve(y0_):
+                return odeint(f_decay, y0_, 0.0, 1.0, None, cfg)
+
+            return solve(y0)
+
+        # default tolerance: auto must strictly not cost NFE (this is where
+        # the measured 25→20 win lives)
+        y_auto, st_auto = run("auto", 1e-4)
+        y_fix, st_fix = run(0.01, 1e-4)
+        assert jnp.max(jnp.abs(y_auto - y_fix)) < 1e-4
+        assert int(st_auto.nfe) <= int(st_fix.nfe), (
+            int(st_auto.nfe), int(st_fix.nfe)
+        )
+        # tight tolerance: the HNW estimate may cost one rejected trial; it
+        # must stay within one trial step of the fixed ramp
+        _, st_auto6 = run("auto", 1e-6)
+        _, st_fix6 = run(0.01, 1e-6)
+        assert int(st_auto6.nfe) <= int(st_fix6.nfe) + 7, (
+            int(st_auto6.nfe), int(st_fix6.nfe)
+        )
+
+    def test_auto_reverse_span_and_abm_fallback(self):
+        y0 = jnp.array([0.5])
+        cfg = SolverConfig(method="tsit5", rtol=1e-6, atol=1e-6, dt0="auto")
+        y_b, _ = jax.jit(lambda y: odeint(f_decay, y, 1.0, 0.0, None, cfg))(y0)
+        assert jnp.max(jnp.abs(y_b - 0.5 * jnp.exp(1.0))) < 1e-4
+        # abm ignores "auto" (order-1 ramp) — must behave exactly as fixed
+        ca = SolverConfig(method="abm", rtol=1e-6, atol=1e-6, dt0="auto")
+        cf = SolverConfig(method="abm", rtol=1e-6, atol=1e-6, dt0=0.01)
+        ya, sa = jax.jit(lambda y: odeint(f_decay, y, 0.0, 1.0, None, ca))(y0)
+        yf, sf = jax.jit(lambda y: odeint(f_decay, y, 0.0, 1.0, None, cf))(y0)
+        assert int(sa.nfe) == int(sf.nfe)
+        assert jnp.max(jnp.abs(ya - yf)) == 0.0
+
+
 class TestGradients:
     def test_backprop_through_scan(self):
         cfg = SolverConfig(method="rk4", gradient="backprop", fixed_steps=32)

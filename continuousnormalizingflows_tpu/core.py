@@ -126,12 +126,13 @@ def _solve(
             u0.shape[0]
         ):
             t_col = cfg.nz if not cfg.autonomous else None
-            # node-buffer capacity for the in-VMEM backward (see
-            # pallas_adaptive docstring; 64 >> the 4-40 accepted steps
-            # typical at rtol 1e-4 — overflow NaN-poisons gradients loudly)
+            # the backward node-buffer capacity honors dense_max_nodes — the
+            # same "accepted steps + headroom" sizing rule as the dense
+            # interpolant (pallas_adaptive "SolverConfig coverage"); overflow
+            # NaN-poisons gradients loudly
             u1, rows = fused_solve_dopri5(
                 u0, eps[0], ys, params, (t0, t1), cfg.nz, t_col,
-                _scfg_tuple(cfg.solver), 64,
+                _scfg_tuple(cfg.solver), cfg.solver.dense_max_nodes,
             )
             return u1, stats_from_rows(rows, cfg.dtype)
         if fused_solve_applicable(cfg, icnf.net, mode) and fused_solve_tile(

@@ -100,7 +100,10 @@ class ICNFDist:
         reproducible stochastic estimate; without it the hidden key advances
         (see class docstring)."""
         if key is None:
-            key = self._next_key() if self.mode is Mode.TRAIN else None
+            # every stochastic mode needs a probe key — TRAIN_NOREG included
+            # (reference TrainMode{false} works through ICNFDist because the
+            # rng rides in the model, dist_ext/core_icnf.jl:13-41)
+            key = self._next_key() if self.mode.stochastic else None
         x = jnp.asarray(x, self.icnf.config.dtype)
         x = _shim_layout(x, self.icnf.config.nvariables)
         ys = self._ys_for(x.shape[0] if x.ndim > 1 else 1)

@@ -48,6 +48,26 @@ probe, regularized train mode, ``method='dopri5'``.  Stage math runs at
 float32-HIGHEST regardless of the net's precision setting: bf16 stage error
 (~1e-2, PARITY.md) is larger than the 1e-4 tolerance being controlled, so a
 bf16 adaptive kernel would control noise, not truncation error.
+
+SolverConfig coverage (the full-field contract — nothing is dropped
+silently; tests/test_pallas_adaptive.py pins the mapped field):
+
+* **honored**: ``rtol``, ``atol``, ``safety``, ``min_factor``,
+  ``max_factor``, ``max_steps``, float ``dt0`` (fixed span-fraction start),
+  ``dense_max_nodes`` (reused as the backward node-buffer capacity
+  ``max_nodes`` — same sizing rule: >= accepted steps; core._solve threads
+  it through).
+* **mapped**: ``dt0="auto"`` → the fixed ``0.01`` start (``_scfg_tuple``).
+  The per-tile controller has no HNW starting-step pass (it would cost a
+  cross-tile reduction the single kernel launch cannot do), so the
+  accepted-step sequence diverges from the XLA path's by the ~1-3 ramp
+  steps the auto start saves; results still satisfy the tolerance.
+  Bit-close parity with the XLA path therefore requires a float ``dt0``.
+* **not applicable by construction**: ``gradient`` (the kernel *is* the
+  gradient — exact discrete BPTT; the gate requires ``"adjoint"`` purely to
+  mark which XLA path it substitutes for), ``adjoint_seminorm`` (no
+  continuous adjoint exists), ``remat`` / ``fixed_steps`` / ``abm_order``
+  (no scan / multistep machinery).
 """
 
 from __future__ import annotations
@@ -428,10 +448,12 @@ def stats_from_rows(rows: jax.Array, tdt=jnp.float32) -> SolverStats:
 
 
 def _scfg_tuple(solver: SolverConfig):
+    """Static controller tuple from a :class:`SolverConfig`.  See the module
+    docstring's "SolverConfig coverage" for the honored/mapped/N-A split."""
     return (
         float(solver.rtol),
         float(solver.atol),
-        # the kernel's per-tile controller keeps a fixed start; dt0="auto"
+        # mapped field: the per-tile controller keeps a fixed start; dt0="auto"
         # (the XLA paths' HNW starting-step algorithm) maps to the old default
         0.01 if isinstance(solver.dt0, str) else float(solver.dt0),
         float(solver.safety),

@@ -301,7 +301,15 @@ def fused_solve_applicable(cfg: ICNFConfig, net, mode: Mode) -> bool:
     kernel always integrates the E/n accumulators, and the reference zeroes
     them when the corresponding flag is off (icnf.jl:180-251), so applying it
     to flagless configs would change the returned (E, n) values.  Gradient
-    semantics are exact-discrete, i.e. the ``backprop`` mode."""
+    semantics are exact-discrete, i.e. the ``backprop`` mode.
+
+    SolverConfig coverage: ``fixed_steps`` is honored (the only field with
+    meaning for a fixed-step solve); ``method='rk4'`` + ``gradient='backprop'``
+    are required by the gate.  ``remat`` is N/A — the kernel's memory plan
+    (recompute stages in the backward, states in VMEM) replaces the scan-level
+    checkpointing choice.  All adaptive-controller fields (rtol/atol/dt0/
+    safety/min_factor/max_factor/max_steps/dense_max_nodes/adjoint_seminorm/
+    abm_order) are N/A by construction — nothing is silently dropped."""
     from ..models.nets import MLP
 
     return (

@@ -60,6 +60,41 @@ def test_train_mode_per_call_key_reproducible():
     assert np.allclose(np.asarray(d.pdf(x, key=k)), np.exp(np.asarray(lp1)))
 
 
+def test_all_modes_full_facade():
+    """Every facade method works in every Mode — the round-3 verdict's
+    confirmed repro was ICNFDist(mode=TRAIN_NOREG).logpdf raising
+    'train mode needs a PRNG key' (dist.py gated the hidden probe key on
+    `mode is TRAIN` instead of `mode.stochastic`; the reference's
+    TrainMode{false} works through its ICNFDist because the rng rides in the
+    model, dist_ext/core_icnf.jl:13-41)."""
+    import pytest
+
+    icnf, params = make_fitted()
+    icnf_c, params_c = make_fitted(nconditions=2)
+    ys = jnp.array([0.5, -0.5])
+    x = 0.3 * jnp.ones((3, 2))
+    for mode in (Mode.TEST, Mode.TRAIN, Mode.TRAIN_NOREG):
+        for d in (cnf.ICNFDist(icnf, params, mode=mode),
+                  cnf.CondICNFDist(icnf_c, params_c, ys, mode=mode)):
+            lp = d.logpdf(x)
+            assert lp.shape == (3,) and bool(jnp.all(jnp.isfinite(lp))), mode
+            np.testing.assert_allclose(
+                np.asarray(d.pdf(x, key=jax.random.PRNGKey(3))),
+                np.exp(np.asarray(d.logpdf(x, key=jax.random.PRNGKey(3)))),
+                rtol=1e-5,
+            )
+            s = d.sample(jax.random.PRNGKey(2), 4)
+            assert s.shape == (4, 2) and bool(jnp.all(jnp.isfinite(s)))
+            s2, lp2 = d.sample_with_logpdf(jax.random.PRNGKey(2), 4)
+            assert s2.shape == (4, 2) and lp2.shape == (4,)
+            assert bool(jnp.all(jnp.isfinite(lp2)))
+    # the stochastic modes give stochastic estimates; TEST is deterministic
+    d_nr = cnf.ICNFDist(icnf, params, mode=Mode.TRAIN_NOREG)
+    assert not np.allclose(np.asarray(d_nr.logpdf(x)), np.asarray(d_nr.logpdf(x)))
+    d_t = cnf.ICNFDist(icnf, params, mode=Mode.TEST)
+    np.testing.assert_array_equal(np.asarray(d_t.logpdf(x)), np.asarray(d_t.logpdf(x)))
+
+
 def test_features_first_layout_shim_warns_once():
     """(nvariables, n) inputs are transposed with a one-shot warning — the
     reference's cross-mode reshape shims (@warn maxlog=1,

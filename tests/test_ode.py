@@ -45,12 +45,20 @@ class TestAccuracy:
 
     def test_solver_stats_diagnostics(self):
         """SolverStats bookkeeping: trials = accepted + rejected, NFE follows
-        the per-trial eval count, dt_final is a sane controller state."""
-        stats = jsolve(f_decay, jnp.ones((4, 3)), 0.0, 1.0, None, SolverConfig())[1]
-        na, nr, nfe = int(stats.naccept), int(stats.nreject), int(stats.nfe)
-        assert na > 0 and nr >= 0
-        assert nfe == 1 + 6 * (na + nr)  # FSAL: 1 init eval + 6 per trial
-        assert float(stats.dt_final) > 0.0
+        the per-trial eval count, dt_final is a sane controller state.
+
+        The init-eval count depends on dt0: the default ``dt0="auto"`` runs
+        the HNW starting-step algorithm, which costs one Euler-probe f eval on
+        top of the FSAL init eval (ops.ode._initial_dt); a float dt0 skips it.
+        """
+        for dt0, n_init in (("auto", 2), (0.01, 1)):
+            cfg = SolverConfig(dt0=dt0)
+            stats = jsolve(f_decay, jnp.ones((4, 3)), 0.0, 1.0, None, cfg)[1]
+            na, nr, nfe = int(stats.naccept), int(stats.nreject), int(stats.nfe)
+            assert na > 0 and nr >= 0
+            # FSAL: init eval(s) + 6 per trial
+            assert nfe == n_init + 6 * (na + nr), (dt0, nfe, na, nr)
+            assert float(stats.dt_final) > 0.0
 
         # a tight-tolerance solve of a curvy problem must report rejections
         def f_osc(t, y, args):

@@ -35,8 +35,12 @@ from continuousnormalizingflows_tpu.ops.ode import odeint_dopri5
 
 
 def make(rtol=1e-4, nconditions=0, gradient="adjoint"):
+    # dt0 pinned to the fixed-fraction start: the fused kernels implement
+    # fixed-start only (dt0="auto" maps to 0.01 — see pallas_adaptive
+    # "SolverConfig coverage"), so bit-close parity with the XLA path
+    # requires running the XLA controller from the same start.
     solver = SolverConfig(method="dopri5", rtol=rtol, atol=rtol,
-                          gradient=gradient)
+                          gradient=gradient, dt0=0.01)
     icnf = cnf.ICNF.create(nvariables=2, nconditions=nconditions,
                            solver=solver)
     return icnf

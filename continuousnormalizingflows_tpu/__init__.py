@@ -19,10 +19,12 @@ Quick start::
     # stats: SolverStats(nfe, naccept, nreject, dt_final); int(stats) == NFE
 """
 
+from . import distributions
 from .config import ICNFConfig, Mode, ProbeDist, SolverConfig, TraceEstimator
 from .core import (base_logpdf, generate, generate_with_logp, inference,
                    log_prob, loss, loss_with_stats, trajectory)
 from .dist import CondICNFDist, ICNFDist
+from .distributions import CustomDist
 from .models.icnf import ICNF, default_net
 from .models.nets import MLP, CondLayer, DynamicsNet, Planar, from_flax, planar_h
 from .train import CondICNFModel, FitResult, ICNFModel, default_optimizer
@@ -34,6 +36,8 @@ __all__ = [
     "ICNFConfig",
     "Mode",
     "ProbeDist",
+    "CustomDist",
+    "distributions",
     "SolverConfig",
     "TraceEstimator",
     "MLP",

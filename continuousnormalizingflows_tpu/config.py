@@ -205,7 +205,20 @@ class ICNFConfig:
     autonomous: bool = False
     tspan: Tuple[float, float] = (0.0, 1.0)
     trace: TraceEstimator = TraceEstimator.HUTCH_VJP
-    probe_dist: ProbeDist = ProbeDist.GAUSSIAN
+    # Probe distribution (reference ``epsdist``, icnf.jl:80-83): a ProbeDist
+    # enum value, or any object with a ``sample_fn(key, shape, dtype)`` —
+    # see distributions.CustomDist (e.g. distributions.uniform_probe()).
+    # Unit variance is the estimator's only requirement (E[εεᵀ] = I).
+    probe_dist: Any = ProbeDist.GAUSSIAN
+    # Base distribution over the nz-dim terminal state (reference
+    # ``basedist``, icnf.jl:76-79; consumed at base_icnf.jl:158-172 and the
+    # generate-path draw).  None = standard normal (the reference default,
+    # on a fast built-in path); otherwise a distributions.CustomDist-like
+    # object with ``logpdf_fn((..., nz)) -> (...,)`` and
+    # ``sample_fn(key, shape, dtype)``.  Static at trace time — create the
+    # object ONCE and reuse it (identity hashing; the distributions-module
+    # factories are lru_cached for exactly this reason).
+    base_dist: Any = None
     nprobes: int = 1  # reference uses a single fresh probe per solve
     # Mesh axis name to shard the probe ensemble over (SURVEY §2.9 "probe"
     # axis): with nprobes > 1 each rank of the axis computes its own probes'
@@ -271,7 +284,18 @@ class ICNFConfig:
         if not isinstance(self.trace, TraceEstimator):
             object.__setattr__(self, "trace", TraceEstimator(self.trace))
         if not isinstance(self.probe_dist, ProbeDist):
-            object.__setattr__(self, "probe_dist", ProbeDist(self.probe_dist))
+            if getattr(self.probe_dist, "sample_fn", None) is not None:
+                pass  # custom probe: duck-typed (logpdf never needed)
+            else:
+                object.__setattr__(self, "probe_dist", ProbeDist(self.probe_dist))
+        if self.base_dist is not None and (
+            getattr(self.base_dist, "logpdf_fn", None) is None
+            or getattr(self.base_dist, "sample_fn", None) is None
+        ):
+            raise ValueError(
+                "base_dist needs both logpdf_fn and sample_fn (see "
+                "distributions.CustomDist); None selects the standard normal"
+            )
         if self.layout not in ("batch_first", "feature_first"):
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.exact_chunk < 0:

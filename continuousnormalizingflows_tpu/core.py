@@ -61,20 +61,35 @@ _LOG_2PI = 1.8378770664093453
 
 
 def base_logpdf(cfg: ICNFConfig, z: jax.Array) -> jax.Array:
-    """Standard-normal log-density over the augmented dimension ``nz``
-    (reference ``basedist = MvNormal(0, I)``, icnf.jl:76-79)."""
+    """Base log-density over the augmented dimension ``nz`` — the reference's
+    ``logpdf(basedist, z)`` (inference_sol, base_icnf.jl:158-172).  Default
+    (``cfg.base_dist is None``) is the standard normal
+    (``basedist = MvNormal(0, I)``, icnf.jl:76-79) on a closed-form fast
+    path; otherwise the config's pluggable distribution is consulted
+    (:mod:`continuousnormalizingflows_tpu.distributions`)."""
+    if cfg.base_dist is not None:
+        return cfg.base_dist.logpdf_fn(z)
     return -0.5 * (cfg.nz * _LOG_2PI + jnp.sum(jnp.square(z), axis=-1))
 
 
 def sample_base(cfg: ICNFConfig, key: jax.Array, n: int) -> jax.Array:
+    """Draw ``(n, nz)`` base samples for the generate path (the reference's
+    ``rand(rng, basedist)``, base_icnf.jl:298-340)."""
+    if cfg.base_dist is not None:
+        return cfg.base_dist.sample_fn(key, (n, cfg.nz), cfg.dtype)
     return jax.random.normal(key, (n, cfg.nz), cfg.dtype)
 
 
 def sample_probe(cfg: ICNFConfig, key: jax.Array, batch: int) -> jax.Array:
     """Fresh Hutchinson probes, shape ``(nprobes, batch, nz)``.  The probe
-    width is ``nvariables + n_aug_input == nz`` (base_icnf.jl:207-208)."""
+    width is ``nvariables + n_aug_input == nz`` (base_icnf.jl:207-208).
+    ``cfg.probe_dist`` may be a ProbeDist enum value or any custom
+    distribution with a ``sample_fn`` (the reference's pluggable
+    ``epsdist``, icnf.jl:80-83)."""
     shape = (cfg.nprobes, batch, cfg.nz)
-    if cfg.probe_dist is ProbeDist.RADEMACHER:
+    if not isinstance(cfg.probe_dist, ProbeDist):
+        eps = cfg.probe_dist.sample_fn(key, shape, cfg.dtype)
+    elif cfg.probe_dist is ProbeDist.RADEMACHER:
         eps = jax.random.rademacher(key, shape, cfg.dtype)
     else:
         eps = jax.random.normal(key, shape, cfg.dtype)

@@ -66,7 +66,8 @@ class ICNF:
         autonomous: bool = False,
         tspan=(0.0, 1.0),
         trace: TraceEstimator = TraceEstimator.HUTCH_VJP,
-        probe_dist: ProbeDist = ProbeDist.GAUSSIAN,
+        probe_dist=ProbeDist.GAUSSIAN,
+        base_dist=None,
         nprobes: int = 1,
         probe_axis=None,
         exact_chunk: int = 0,
@@ -82,6 +83,23 @@ class ICNF:
         fused: bool = False,
         layout: str = "batch_first",
     ) -> "ICNF":
+        """Build an ICNF with reference-matching defaults (icnf.jl:53-103).
+
+        ``base_dist`` / ``probe_dist``: pluggable base and Hutchinson-probe
+        distributions (the reference's ``basedist``/``epsdist`` constructor
+        arguments, icnf.jl:76-83) — see
+        :mod:`continuousnormalizingflows_tpu.distributions`; the defaults are
+        the reference's standard normal for both.
+
+        ``nprobes``: Hutchinson probes per solve.  The reference fixes 1
+        (base_icnf.jl:207-208); this is a capability beyond it.  Measured on
+        v5e (PARITY.md round 3, tiny-net config): **nprobes=4 is the
+        variance-per-wall-clock optimum** — estimator std² × step time drops
+        5.96 → 3.31 vs a single probe (probe sweeps batch into the MXU's
+        spare capacity until ~4, after which time grows linearly).  Use 1 for
+        strict reference parity, 4 when estimator variance matters; with a
+        mesh, ``probe_axis`` shards the ensemble.
+        """
         import jax.numpy as jnp
 
         cfg = ICNFConfig(
@@ -94,6 +112,7 @@ class ICNF:
             tspan=tuple(tspan),
             trace=trace,
             probe_dist=probe_dist,
+            base_dist=base_dist,
             nprobes=nprobes,
             probe_axis=probe_axis,
             exact_chunk=exact_chunk,

@@ -34,9 +34,58 @@ from ..models.nets import MLP as _MLP
 from ..models.nets import DynamicsNet
 from ..models.nets import Planar as _Planar
 
-__all__ = ["make_augmented_dynamics", "make_field"]
+__all__ = ["make_augmented_dynamics", "make_field", "EXACT_SWEEP_TPU_NZ_LIMIT"]
 
 Pytree = Any
+
+# Measured compile boundary for the GENERIC exact-trace sweep on the TPU
+# stack (PARITY.md round 3): an opaque (non-analytic) net at nz >= 513 dies
+# in the remote compiler (6 attempts: chunked AND unchunked, any step count)
+# while nz = 129 compiles and runs fine.  The reference handles any nn at any
+# d — slowly, via per-sample Jacobian stacks (utils.jl:12-88) — so where we
+# diverge we must say so at the API instead of surfacing an opaque HTTP-500.
+EXACT_SWEEP_TPU_NZ_LIMIT = 512
+
+
+def _generic_sweep_selected(cfg: ICNFConfig, net, mode: Mode) -> bool:
+    """True when make_augmented_dynamics would route the EXACT estimator to
+    the generic O(nz) linearize sweep (no analytic fast path applies)."""
+    if cfg.trace_for(mode) is not TraceEstimator.EXACT:
+        return False
+    if isinstance(net, _Planar):
+        return False
+    compute_reg_j = mode.regularized and cfg.norm_j
+    return not (_mlp_exact_applicable(net) and not compute_reg_j)
+
+
+def _check_exact_sweep_feasible(cfg: ICNFConfig, net, mode: Mode) -> None:
+    """Actionable failure for the configs the TPU compiler cannot build.
+
+    A raise here replaces an opaque remote-compiler crash; the alternatives
+    are the PARITY-documented working paths.  Set
+    ``CNF_TPU_ALLOW_LARGE_EXACT_SWEEP=1`` to attempt the compile anyway
+    (e.g. on a TPU software stack newer than the measured one)."""
+    import os
+
+    if (
+        _generic_sweep_selected(cfg, net, mode)
+        and cfg.nz > EXACT_SWEEP_TPU_NZ_LIMIT
+        and cfg.sweep_axis is None
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("CNF_TPU_ALLOW_LARGE_EXACT_SWEEP")
+    ):
+        raise ValueError(
+            f"exact-trace sweep for a generic net at nz={cfg.nz} > "
+            f"{EXACT_SWEEP_TPU_NZ_LIMIT} is compile-infeasible on the measured "
+            "TPU stack (remote-compiler crash, PARITY.md round 3). Working "
+            "alternatives: (1) use the default shallow-MLP dynamics net — its "
+            "analytic exact trace is O(1) in nz and 21.8x faster than the "
+            "sweep anyway; (2) shard the sweep over a device mesh: set "
+            "exact_chunk plus sweep_axis under jax.set_mesh; (3) use the "
+            "Hutchinson estimate (Mode.TRAIN/TRAIN_NOREG) for stochastic "
+            "log-densities. Set CNF_TPU_ALLOW_LARGE_EXACT_SWEEP=1 to attempt "
+            "the compile regardless."
+        )
 
 
 def _act_and_deriv(act, z):
@@ -283,6 +332,7 @@ def make_augmented_dynamics(
     conditions ``(nconditions, batch)`` (see :func:`_make_augmented_dynamics_t`);
     the transposition happens once per solve in ``core._solve``.
     """
+    _check_exact_sweep_feasible(cfg, net, mode)
     if cfg.layout == "feature_first":
         return _make_augmented_dynamics_t(cfg, net, mode)
     nz = cfg.nz

@@ -372,3 +372,53 @@ class TestChunkedExactSweep:
         np.testing.assert_allclose(
             np.asarray(du_plain), np.asarray(du_shard), rtol=1e-5, atol=1e-6
         )
+
+
+class TestLargeExactSweepGuard:
+    """Actionable failure for the generic-net exact-trace configs the TPU
+    stack cannot compile (nz > 512 boundary, PARITY.md round 3) — the guard
+    replaces an opaque remote-compiler HTTP-500 with the documented
+    alternatives (VERDICT round-3 Weak #5)."""
+
+    def _large_generic(self, **cfg_kw):
+        from continuousnormalizingflows_tpu.models.nets import MLP
+
+        cfg = ICNFConfig(nvariables=256, **cfg_kw)  # nz = 513 > 512
+        assert cfg.nz == 513
+        # 3 hidden layers => no analytic MLP trace => the generic sweep
+        net = MLP((cfg.n_in, 8, 8, 8, cfg.n_out))
+        return cfg, net
+
+    def test_raises_on_fake_tpu_backend(self, monkeypatch):
+        cfg, net = self._large_generic()
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        with pytest.raises(ValueError, match="compile-infeasible"):
+            make_augmented_dynamics(cfg, net, Mode.TEST)
+        # the message names every alternative
+        try:
+            make_augmented_dynamics(cfg, net, Mode.TEST)
+        except ValueError as e:
+            msg = str(e)
+            for kw in ("sweep_axis", "exact_chunk", "Hutchinson", "analytic",
+                       "CNF_TPU_ALLOW_LARGE_EXACT_SWEEP"):
+                assert kw in msg, kw
+
+    def test_escape_hatches(self, monkeypatch):
+        cfg, net = self._large_generic()
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        # sharded sweep is the documented working path — no raise
+        cfg_shard, _ = self._large_generic(sweep_axis="model", exact_chunk=64)
+        make_augmented_dynamics(cfg_shard, net, Mode.TEST)
+        # stochastic estimators are unaffected
+        make_augmented_dynamics(cfg, net, Mode.TRAIN)
+        # explicit override env var
+        monkeypatch.setenv("CNF_TPU_ALLOW_LARGE_EXACT_SWEEP", "1")
+        make_augmented_dynamics(cfg, net, Mode.TEST)
+
+    def test_no_guard_on_cpu_or_analytic_or_small(self):
+        cfg, net = self._large_generic()
+        # CPU backend: compile-feasible (slow but works) — no raise
+        make_augmented_dynamics(cfg, net, Mode.TEST)
+        # the analytic default net never hits the sweep, any nz
+        icnf = ICNF.create(nvariables=256)
+        make_augmented_dynamics(icnf.config, icnf.net, Mode.TEST)

@@ -46,30 +46,36 @@ def bench_train(icnf, params, x):
     def step(carry, i):
         params, opt_state, key = carry
         key, k = jax.random.split(key)
-        l, grads = jax.value_and_grad(
-            lambda p: cnf.loss(icnf, Mode.TRAIN, x, p, key=k)
+        (l, stats), grads = jax.value_and_grad(
+            lambda p: cnf.loss_with_stats(icnf, Mode.TRAIN, x, p, key=k),
+            has_aux=True,
         )(params)
         updates, opt_state = opt.update(grads, opt_state)
-        return (optax.apply_updates(params, updates), opt_state, key), l
+        return (optax.apply_updates(params, updates), opt_state, key), (
+            l, stats.nfe,
+        )
 
     @jax.jit
     def run(params, opt_state, key):
-        (params, opt_state, _key), losses = jax.lax.scan(
+        (params, opt_state, _key), (losses, nfes) = jax.lax.scan(
             step, (params, opt_state, key), jnp.arange(TRAIN_STEPS)
         )
-        return params, opt_state, losses[-1]
+        return params, opt_state, losses[-1], nfes[-1]
 
     key = jax.random.PRNGKey(0)
     # warmup/compile
-    _p, _o, l = run(params, opt_state, key)
+    _p, _o, l, nfe = run(params, opt_state, key)
     jax.block_until_ready(l)
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        _p, _o, l = run(params, opt_state, jax.random.PRNGKey(rep))
+        _p, _o, l, nfe = run(params, opt_state, jax.random.PRNGKey(rep))
         jax.block_until_ready(l)
         best = min(best, (time.perf_counter() - t0) / TRAIN_STEPS)
-    return BATCH / best, float(l)
+    # the forward-solve NFE of the LAST step — attribution aux: a throughput
+    # drift with unchanged NFE is dispatch/kernel time, with changed NFE it
+    # is solver behavior (VERDICT round-3 Weak #3)
+    return BATCH / best, float(l), int(nfe)
 
 
 def bench_eval(icnf_eval, params, x):
@@ -126,11 +132,23 @@ def main():
         solver=SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4, dt0=0.01),
         precision="highest",
     )
+    # the reference's DEFAULT sensitivity stack, solver-class-for-class:
+    # VCABM + QuadratureAdjoint (icnf.jl:89-99) = abm + interpolation
+    # quadrature adjoint here (measured the right pairing on TPU: 1.56x over
+    # abm+backsolve, PARITY round 3) — the chip-side sentinel beyond the two
+    # gated paths above (VERDICT round-3 item 8)
+    icnf_abm = cnf.ICNF.create(
+        nvariables=2,
+        solver=SolverConfig(method="abm", rtol=1e-4, atol=1e-4,
+                            gradient="quadrature"),
+        precision="highest",
+    )
     params = icnf.init(jax.random.PRNGKey(0))
     x = datasets.gaussian_mixture(jax.random.PRNGKey(1), BATCH)
 
-    train_sps, final_loss = bench_train(icnf, params, x)
-    ref_sps, _ref_loss = bench_train(icnf_ref, params, x)
+    train_sps, final_loss, _nfe_fixed = bench_train(icnf, params, x)
+    ref_sps, _ref_loss, ref_nfe = bench_train(icnf_ref, params, x)
+    abm_sps, _abm_loss, abm_nfe = bench_train(icnf_abm, params, x)
     eval_sps, nfe, dyn_evals_ps = bench_eval(
         icnf_eval, params, datasets.gaussian_mixture(jax.random.PRNGKey(2), EVAL_BATCH)
     )
@@ -141,6 +159,7 @@ def main():
             anchors = json.load(f)
     anchor = anchors.get("train_samples_per_sec_per_chip")
     anchor_ref = anchors.get("train_adaptive_fp32_samples_per_sec")
+    anchor_abm = anchors.get("train_abm_quadrature_samples_per_sec")
     dirty = False
     if not anchor:
         anchors["train_samples_per_sec_per_chip"] = anchor = train_sps
@@ -151,6 +170,10 @@ def main():
     if not anchor_ref:
         # first run after the adaptive path became gated: record its anchor
         anchors["train_adaptive_fp32_samples_per_sec"] = anchor_ref = ref_sps
+        dirty = True
+    if not anchor_abm:
+        # round-4 sentinel: the reference's default stack pairing
+        anchors["train_abm_quadrature_samples_per_sec"] = anchor_abm = abm_sps
         dirty = True
     if dirty:
         with open(ANCHOR_FILE, "w") as f:
@@ -166,6 +189,10 @@ def main():
                 "aux": {
                     "train_adaptive_fp32_samples_per_sec": round(ref_sps, 1),
                     "adaptive_fp32_vs_baseline": round(ref_sps / anchor_ref, 3),
+                    "train_adaptive_nfe": ref_nfe,
+                    "train_abm_quadrature_samples_per_sec": round(abm_sps, 1),
+                    "abm_quadrature_vs_baseline": round(abm_sps / anchor_abm, 3),
+                    "train_abm_nfe": abm_nfe,
                     "testmode_logprob_evals_per_sec": round(eval_sps, 1),
                     "testmode_nfe": nfe,
                     "dynamics_evals_per_sec": round(dyn_evals_ps, 1),

@@ -363,3 +363,26 @@ def test_steps_per_dispatch_conditional_and_mesh():
         jax.tree_util.tree_leaves(meshed.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+def test_config1_ring_reduced_scale():
+    """BASELINE config 1 (2-D ring-of-Gaussians RNODE) at reduced scale — the
+    quality gate behind the round-4 re-anchored PARITY row (full scale on
+    TPU: gap 0.0503 nats with the reference-default net at 64k samples /
+    300 epochs; benchmarks/cfg1_converge.py).  At this CPU scale (4096
+    samples, 150 epochs) the measured gap is ~0.42 nats; 0.6 catches gross
+    regressions of the training stack without minutes of runtime."""
+    x = datasets.gaussian_mixture(jax.random.PRNGKey(0), 4096)
+    xt = datasets.gaussian_mixture(jax.random.PRNGKey(9), 2048)
+    icnf = cnf.ICNF.create(
+        nvariables=2, naugments=0, lambda_3=0.0,
+        solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=16),
+    )
+    model = cnf.ICNFModel(icnf, batchsize=512, epochs=150,
+                          key=jax.random.PRNGKey(1), steps_per_dispatch=8)
+    res = model.fit(x)
+    lp, _, _ = cnf.inference(icnf, Mode.TEST, xt, res.params)
+    gap = -float(jnp.mean(lp)) + float(
+        jnp.mean(datasets.gaussian_mixture_logpdf(xt))
+    )
+    assert gap < 0.6, gap

@@ -81,6 +81,7 @@ class ICNF:
         net: Optional[DynamicsNet] = None,
         precision: str = "highest",
         fused: bool = False,
+        fused_adaptive: bool = False,
         layout: str = "batch_first",
     ) -> "ICNF":
         """Build an ICNF with reference-matching defaults (icnf.jl:53-103).
@@ -104,6 +105,7 @@ class ICNF:
 
         cfg = ICNFConfig(
             fused=fused,
+            fused_adaptive=fused_adaptive,
             layout=layout,
             nvariables=nvariables,
             naugments=naugments,

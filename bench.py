@@ -174,6 +174,7 @@ def main():
     if not anchor_abm:
         # round-4 sentinel: the reference's default stack pairing
         anchors["train_abm_quadrature_samples_per_sec"] = anchor_abm = abm_sps
+        anchors["train_abm_quadrature_round"] = 4
         dirty = True
     if dirty:
         with open(ANCHOR_FILE, "w") as f:

@@ -29,7 +29,12 @@ from typing import Any, Tuple
 
 import jax.numpy as jnp
 
+# log(2*pi) — the one shared copy (normal log-densities in core,
+# distributions, and utils.datasets all import it from here)
+LOG_2PI = 1.8378770664093453
+
 __all__ = [
+    "LOG_2PI",
     "Mode",
     "TraceEstimator",
     "ProbeDist",

@@ -35,6 +35,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .config import LOG_2PI as _LOG_2PI
 from .config import ICNFConfig, Mode, ProbeDist
 from .models.icnf import ICNF
 from .ops.adjoint import odeint_diff
@@ -56,9 +57,6 @@ __all__ = [
 ]
 
 Pytree = Any
-
-_LOG_2PI = 1.8378770664093453
-
 
 def base_logpdf(cfg: ICNFConfig, z: jax.Array) -> jax.Array:
     """Base log-density over the augmented dimension ``nz`` — the reference's
@@ -125,6 +123,7 @@ def _solve(
     cfg = icnf.config
     if eps is not None:
         from .ops.pallas_adaptive import (
+            MAX_NODES_VMEM_CAP,
             _scfg_tuple,
             fused_adaptive_applicable,
             fused_adaptive_tile,
@@ -141,13 +140,14 @@ def _solve(
             u0.shape[0]
         ):
             t_col = cfg.nz if not cfg.autonomous else None
-            # the backward node-buffer capacity honors dense_max_nodes — the
-            # same "accepted steps + headroom" sizing rule as the dense
-            # interpolant (pallas_adaptive "SolverConfig coverage"); overflow
-            # NaN-poisons gradients loudly
+            # the backward node-buffer capacity honors dense_max_nodes
+            # downward but is capped at the measured VMEM ceiling (128 nodes
+            # compile-time-OOMs the backward tile on v5e — pallas_adaptive
+            # docstring); overflow NaN-poisons gradients loudly
             u1, rows = fused_solve_dopri5(
                 u0, eps[0], ys, params, (t0, t1), cfg.nz, t_col,
-                _scfg_tuple(cfg.solver), cfg.solver.dense_max_nodes,
+                _scfg_tuple(cfg.solver),
+                min(cfg.solver.dense_max_nodes, MAX_NODES_VMEM_CAP),
             )
             return u1, stats_from_rows(rows, cfg.dtype)
         if fused_solve_applicable(cfg, icnf.net, mode) and fused_solve_tile(

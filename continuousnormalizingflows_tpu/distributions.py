@@ -14,7 +14,15 @@ Usage::
 
     from continuousnormalizingflows_tpu import distributions as dists
     icnf = cnf.ICNF.create(nvariables=2, base_dist=dists.logistic())
-    icnf = cnf.ICNF.create(nvariables=2, probe_dist=dists.student_t(7.0))
+    icnf = cnf.ICNF.create(nvariables=2, probe_dist=dists.uniform_probe())
+
+Probe-variance contract: a ``probe_dist`` MUST have unit variance per
+component — the Hutchinson estimator needs ``E[εεᵀ] = I``, and a
+non-unit-variance probe silently scales every estimated divergence (e.g. a
+raw Student-t probe with df=7 inflates tr(J) estimates by df/(df−2) = 1.4x).
+The factories here are base distributions; only :func:`uniform_probe` (and
+the Gaussian/Rademacher enums) are probe-ready as-is — standardize anything
+else (scale a Student-t by ``sqrt((df−2)/df)``) before using it as a probe.
 
 Hashability contract (the same identity-hashing convention as ``ICNF`` /
 ``DynamicsNet``, CLAUDE.md): a :class:`CustomDist` compares by its function
@@ -37,6 +45,8 @@ from typing import Any, Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from .config import LOG_2PI as _LOG_2PI
+
 __all__ = [
     "CustomDist",
     "standard_normal",
@@ -46,8 +56,6 @@ __all__ = [
     "normal_mixture",
     "uniform_probe",
 ]
-
-_LOG_2PI = 1.8378770664093453
 
 
 @dataclasses.dataclass(frozen=True)

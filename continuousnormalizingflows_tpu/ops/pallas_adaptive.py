@@ -38,8 +38,14 @@ Backward (exact discrete BPTT over the accepted-step sequence)
 Loud-failure policy (matching ops.ode): a tile that exhausts ``max_steps``
 NaN-poisons its rows; a backward replay that accepts more steps than
 ``max_nodes`` NaN-poisons the gradients (never silently truncates).  Sizing
-rule: ``max_nodes >= expected accepted steps`` (4-40 at rtol 1e-4; the
-default 64 leaves headroom).
+rule: ``max_nodes >= expected accepted steps`` (4-40 at rtol 1e-4).
+``core._solve`` passes ``min(SolverConfig.dense_max_nodes,
+MAX_NODES_VMEM_CAP)``: the node buffer is honored *downward* (a user
+bounding interpolant memory bounds this buffer identically) but capped at
+the measured VMEM ceiling — at the 128-row backward tile a
+(nodes, 128, 128) f32 buffer of 128 nodes is 8 MiB and overflows the
+16 MiB scoped-vmem limit by 1.97 MiB on v5e (compile-time OOM, measured
+round 4); 64 nodes (4 MiB) fits alongside the 6 stages of intermediates.
 
 Scope (``fused_adaptive_applicable``): the fixed-kernel family restricted to
 hidden width <= 128 (one lane tile — the adaptive backward keeps 6 stages of
@@ -55,8 +61,9 @@ silently; tests/test_pallas_adaptive.py pins the mapped field):
 * **honored**: ``rtol``, ``atol``, ``safety``, ``min_factor``,
   ``max_factor``, ``max_steps``, float ``dt0`` (fixed span-fraction start),
   ``dense_max_nodes`` (reused as the backward node-buffer capacity
-  ``max_nodes`` — same sizing rule: >= accepted steps; core._solve threads
-  it through).
+  ``max_nodes`` — same sizing rule: >= accepted steps; honored downward,
+  capped at ``MAX_NODES_VMEM_CAP`` = 64 by core._solve — the measured
+  scoped-VMEM ceiling, see the loud-failure paragraph).
 * **mapped**: ``dt0="auto"`` → the fixed ``0.01`` start (``_scfg_tuple``).
   The per-tile controller has no HNW starting-step pass (it would cost a
   cross-tile reduction the single kernel launch cannot do), so the
@@ -97,11 +104,17 @@ from .pallas_solve import (
 )
 
 __all__ = [
+    "MAX_NODES_VMEM_CAP",
     "fused_adaptive_applicable",
     "fused_adaptive_tile",
     "fused_solve_dopri5",
     "stats_from_rows",
 ]
+
+# VMEM ceiling for the backward node buffer (see module docstring: 128 nodes
+# x 128-row tile x 128 lanes f32 = 8 MiB overflows the 16 MiB scoped-vmem
+# limit on v5e; 64 fits).  core._solve caps dense_max_nodes here.
+MAX_NODES_VMEM_CAP = 64
 
 _A = DOPRI5.A
 _B = DOPRI5.B

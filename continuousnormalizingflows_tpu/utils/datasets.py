@@ -145,7 +145,7 @@ def smooth_image_mixture_logpdf(x: jax.Array, side: int = 28, ncomp: int = 3) ->
 
     means, chols = _image_mixture_components(side, ncomp)
     d = side * side
-    _LOG_2PI = 1.8378770664093453
+    from ..config import LOG_2PI as _LOG_2PI
 
     def comp_logpdf(mu, chol):
         diff = (x - mu).T  # (d, n)

@@ -259,3 +259,32 @@ def quantized_bits_per_dim(logp_y: jax.Array, ldj: jax.Array, d: int,
     0-bits reference of a uniform model."""
     nll_z = -(logp_y + ldj)
     return nll_z / (d * 0.6931471805599453) + jnp.log2(float(levels))
+
+
+def load_tabular_real(name: str, seed: int = 0, test_frac: float = 0.2,
+                      jitter: float = 0.02):
+    """Real UCI tabular data for density estimation, from sklearn's bundled
+    copies (``wine`` 178x13, ``breast_cancer`` 569x30) — the offline stand-in
+    for the flow literature's UCI tables (POWER/GAS/...), as sklearn digits
+    stands in for MNIST.
+
+    Standard tabular-flow preprocessing: z-score standardize on TRAIN
+    statistics, add small Gaussian jitter (both tables contain repeated /
+    discretized measurement values — a continuous density on exact duplicates
+    diverges), shuffle-split.  Returns ``(x_train, x_test)`` float32 arrays.
+    """
+    import numpy as np
+    from sklearn import datasets as skd
+
+    loaders = {"wine": skd.load_wine, "breast_cancer": skd.load_breast_cancer}
+    if name not in loaders:
+        raise ValueError(f"unknown tabular dataset {name!r}; use {sorted(loaders)}")
+    x = np.asarray(loaders[name]().data, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    x = x[rng.permutation(x.shape[0])]
+    n_test = max(1, int(round(test_frac * x.shape[0])))
+    xte, xtr = x[:n_test], x[n_test:]
+    m, s = xtr.mean(0), xtr.std(0) + 1e-6
+    xtr = (xtr - m) / s + jitter * rng.standard_normal(xtr.shape)
+    xte = (xte - m) / s + jitter * rng.standard_normal(xte.shape)
+    return (jnp.asarray(xtr, jnp.float32), jnp.asarray(xte, jnp.float32))

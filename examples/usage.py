@@ -109,3 +109,27 @@ try:
     print("wrote trajectories.png")
 except ImportError:
     print("matplotlib not available; skipping plot")
+
+# ---- Round-4 extras: custom base distribution + serving export ------------
+# Pluggable base (the reference's `basedist` argument): refit with a
+# heavy-tailed logistic base — one constructor kwarg.
+from continuousnormalizingflows_tpu import distributions as dists
+
+icnf_log = cnf.ICNF.create(
+    nvariables=1, naugments=0, lambda_3=0.0,
+    base_dist=dists.logistic(), solver=icnf.config.solver,
+)
+res_log = cnf.ICNFModel(icnf_log, batchsize=0, epochs=60,
+                        key=jax.random.PRNGKey(5)).fit(r)
+print("logistic-base final loss:", res_log.stats["final_loss"])
+
+# Serving export: the fitted flow as a standalone StableHLO artifact —
+# a serving process needs only jax.export.deserialize (no model code).
+from continuousnormalizingflows_tpu.utils import export as cnf_export
+
+artifact_path = os.path.join(os.path.dirname(__file__), "model.cnfx")
+cnf_export.save_artifact(artifact_path, cnf_export.export_logpdf(icnf, params))
+logp_served = cnf_export.load_artifact(artifact_path).call(r)
+print("served logp matches:", bool(jnp.allclose(
+    logp_served, cnf.log_prob(icnf, cnf.Mode.TEST, r, params), atol=1e-5)))
+os.remove(artifact_path)

@@ -386,3 +386,36 @@ def test_config1_ring_reduced_scale():
         jnp.mean(datasets.gaussian_mixture_logpdf(xt))
     )
     assert gap < 0.6, gap
+
+
+def test_load_tabular_real_and_quick_fit():
+    """Real UCI tabular loader (round 4): deterministic split, train-stat
+    standardization, and a quick fit that must beat the DIAGONAL Gaussian on
+    held-out data (the full benchmark protocol with baselines lives in
+    benchmarks/tabular_real.py; TPU results in PARITY.md round 4)."""
+    from continuousnormalizingflows_tpu.utils.datasets import load_tabular_real
+
+    xtr, xte = load_tabular_real("wine", seed=0)
+    xtr2, _ = load_tabular_real("wine", seed=0)
+    np.testing.assert_array_equal(np.asarray(xtr), np.asarray(xtr2))
+    assert xtr.shape == (142, 13) and xte.shape == (36, 13)
+    assert abs(float(jnp.mean(xtr))) < 0.05 and abs(float(jnp.std(xtr)) - 1.0) < 0.05
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown tabular dataset"):
+        load_tabular_real("nope")
+
+    icnf = cnf.ICNF.create(
+        nvariables=13, naugments=0, lambda_3=0.0, steer_rate=0.0,
+        solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=16),
+    )
+    res = cnf.ICNFModel(icnf, batchsize=0, epochs=150,
+                        key=jax.random.PRNGKey(1)).fit(xtr)
+    lp, _, _ = cnf.inference(icnf, Mode.TEST, xte, res.params)
+    nll_flow = -float(jnp.mean(lp))
+    mu, v = jnp.mean(xtr, 0), jnp.var(xtr, 0) + 1e-6
+    nll_diag = float(jnp.mean(
+        0.5 * jnp.sum(jnp.log(2 * jnp.pi * v) + (xte - mu) ** 2 / v, axis=-1)
+    ))
+    assert nll_flow < nll_diag, (nll_flow, nll_diag)

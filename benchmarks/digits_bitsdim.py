@@ -45,7 +45,7 @@ D = 64
 ALPHA = 0.05
 
 
-def build(hidden, train_precision):
+def build(hidden, train_precision, nprobes=1):
     cfg_train = cnf.ICNFConfig(
         nvariables=D,
         naugments=0,
@@ -53,6 +53,7 @@ def build(hidden, train_precision):
         lambda_2=0.01,  # eval NFE down on the sharpened field
         lambda_3=0.0,
         steer_rate=0.0,
+        nprobes=nprobes,
         solver=SolverConfig(method="rk4", gradient="backprop", fixed_steps=24),
     )
     net = MLP((cfg_train.n_in, hidden, hidden, cfg_train.n_out),
@@ -102,6 +103,9 @@ def main():
     ap.add_argument("--deq-draws", type=int, default=8,
                     help="dequantization draws averaged at eval")
     ap.add_argument("--precision", default="default")
+    ap.add_argument("--nprobes", type=int, default=1,
+                    help="Hutchinson probes per solve (4 = the measured "
+                         "variance-per-wall-clock optimum, PARITY round 3)")
     ap.add_argument("--grid", default=None, help="PGM path for generated digits")
     ap.add_argument("--save", default=None)
     args = ap.parse_args()
@@ -111,7 +115,7 @@ def main():
     x_train_i, x_test_i = datasets.digits_split()
     m, s, log_s_sum, y0 = datasets.digits_standardizer(x_train_i, alpha=ALPHA)
 
-    icnf, icnf_eval = build(args.hidden, args.precision)
+    icnf, icnf_eval = build(args.hidden, args.precision, args.nprobes)
     params = icnf.init(jax.random.PRNGKey(0))
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params/1e3:.0f} k | train {x_train_i.shape[0]} "

@@ -103,6 +103,12 @@ def main():
     ap.add_argument("--deq-draws", type=int, default=8,
                     help="dequantization draws averaged at eval")
     ap.add_argument("--precision", default="default")
+    ap.add_argument("--augment-prob", type=float, default=1.0,
+                    help="fraction of samples shifted when --augment is on")
+    ap.add_argument("--augment", action="store_true",
+                    help="random +-1px translation augmentation per step "
+                         "(batch_transform hook; the standard small-image "
+                         "anti-overfit lever)")
     ap.add_argument("--nprobes", type=int, default=1,
                     help="Hutchinson probes per solve (4 = the measured "
                          "variance-per-wall-clock optimum, PARITY round 3)")
@@ -131,6 +137,10 @@ def main():
     # steps_per_dispatch, and eval-between-chunks via exact warm-start resume
     # (params + opt_state + key round-trip FitResult) — no custom train loop.
     def deq_standardize(k, xb_int):
+        if args.augment:
+            k, k_shift = jax.random.split(k)
+            xb_int = datasets.random_shift_images(k_shift, xb_int, side=8,
+                                                  prob=args.augment_prob)
         yb, _ = datasets.dequantize_logit(xb_int, k, alpha=ALPHA)
         return (yb - m) / s
 

@@ -288,3 +288,32 @@ def load_tabular_real(name: str, seed: int = 0, test_frac: float = 0.2,
     xtr = (xtr - m) / s + jitter * rng.standard_normal(xtr.shape)
     xte = (xte - m) / s + jitter * rng.standard_normal(xte.shape)
     return (jnp.asarray(xtr, jnp.float32), jnp.asarray(xte, jnp.float32))
+
+
+def random_shift_images(key: jax.Array, x_int: jax.Array, side: int,
+                        max_shift: int = 1, prob: float = 1.0) -> jax.Array:
+    """Per-sample random integer translation of flattened ``(B, side*side)``
+    images (zero fill — the digits background level), the standard small-image
+    augmentation.  Jit-safe: shifts are gathered with clipped index arithmetic,
+    no dynamic slicing.  Designed for the ``ICNFModel.fit`` ``batch_transform``
+    hook (fresh shifts every step)."""
+    b = x_int.shape[0]
+    imgs = x_int.reshape(b, side, side)
+    k1, k2, k3 = jax.random.split(key, 3)
+    dy = jax.random.randint(k1, (b,), -max_shift, max_shift + 1)
+    dx = jax.random.randint(k2, (b,), -max_shift, max_shift + 1)
+    if prob < 1.0:
+        # soften: shift only a `prob` fraction of samples (at small image
+        # sides a 1-px shift is a large distribution distortion)
+        on = jax.random.bernoulli(k3, prob, (b,)).astype(dy.dtype)
+        dy, dx = dy * on, dx * on
+    rows = jnp.arange(side)[None, :, None] - dy[:, None, None]  # (b, s, 1)
+    cols = jnp.arange(side)[None, None, :] - dx[:, None, None]  # (b, 1, s)
+    valid = ((rows >= 0) & (rows < side) & (cols >= 0) & (cols < side))
+    r = jnp.clip(rows, 0, side - 1)
+    c = jnp.clip(cols, 0, side - 1)
+    shifted = jnp.take_along_axis(
+        jnp.take_along_axis(imgs, jnp.broadcast_to(r, (b, side, side)), axis=1),
+        jnp.broadcast_to(c, (b, side, side)), axis=2,
+    )
+    return jnp.where(valid, shifted, 0).reshape(b, side * side).astype(x_int.dtype)

@@ -114,3 +114,38 @@ def test_digits_no_overfit_at_this_scale(digits_fit):
     # (measured +0.02 at 200 steps; the round-2 overfitting failure mode
     # showed up as a runaway train-test gap)
     assert bpd_test - bpd_train < 0.25, (bpd_train, bpd_test)
+
+
+def test_random_shift_images():
+    """±1px translation augmentation (batch_transform lever for the
+    small-real-data overfit gap — measured on digits: train-test gap 0.32 →
+    0.04 bits/dim, PARITY round 4): zero fill, content preserved, max_shift=0
+    is the identity, shifts vary per sample."""
+    x = datasets.digits_data()[:32]
+    x = jnp.asarray(x, jnp.int32)
+    out = datasets.random_shift_images(jax.random.PRNGKey(0), x, side=8)
+    assert out.shape == x.shape and out.dtype == x.dtype
+    # identity at max_shift=0
+    np.testing.assert_array_equal(
+        np.asarray(datasets.random_shift_images(jax.random.PRNGKey(1), x, 8,
+                                                max_shift=0)),
+        np.asarray(x),
+    )
+    # every shifted pixel value existed in the original image or is the fill
+    for i in range(8):
+        orig = set(np.asarray(x[i]).tolist()) | {0}
+        assert set(np.asarray(out[i]).tolist()) <= orig
+    # a known image shifts exactly: delta at (r, c) moves by (dy, dx)
+    img = jnp.zeros((1, 64), jnp.int32).at[0, 8 * 3 + 4].set(9)  # (3, 4)
+    for key in range(6):
+        o = np.asarray(
+            datasets.random_shift_images(jax.random.PRNGKey(key), img, 8)
+        ).reshape(8, 8)
+        locs = np.argwhere(o == 9)
+        assert len(locs) == 1
+        dy, dx = locs[0][0] - 3, locs[0][1] - 4
+        assert abs(dy) <= 1 and abs(dx) <= 1
+    # shifts are per-sample (a batch of identical images diverges)
+    rep = jnp.tile(img, (16, 1))
+    o = np.asarray(datasets.random_shift_images(jax.random.PRNGKey(2), rep, 8))
+    assert len({tuple(r.tolist()) for r in o}) > 1

@@ -7,8 +7,9 @@ whatever devices exist (`--devices 1 2 4 8`); on the CPU backend with
 (per-device batch constant, psum gradient all-reduce, identical step
 sequences) rather than ICI bandwidth.
 
-Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-       python benchmarks/scaling.py --per-device-batch 512 --steps 10
+Run: python benchmarks/scaling.py --cpu --per-device-batch 512 --steps 10
+(--cpu forces the 8-virtual-device CPU backend in-process — shell env vars
+are clobbered by the axon sitecustomize, CLAUDE.md)
 """
 
 import argparse
@@ -18,6 +19,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if "--cpu" in sys.argv:  # must precede backend init (axon sitecustomize gotcha)
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 import jax
 import jax.numpy as jnp
 import optax

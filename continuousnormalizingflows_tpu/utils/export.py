@@ -46,15 +46,18 @@ __all__ = [
 Pytree = Any
 
 
-def _specs_batch_poly(icnf, conditioned: bool):
-    """ShapeDtypeStructs with a symbolic batch dim ``b``."""
+def _specs_batch_poly(icnf, conditioned: bool, sharding=None, n_dev: int = 1):
+    """ShapeDtypeStructs with a symbolic batch dim (``n_dev*b`` when sharded,
+    so any served batch is divisible across the mesh)."""
     cfg = icnf.config
     scope = jax.export.SymbolicScope()
-    (b,) = jax.export.symbolic_shape("b", scope=scope)
-    x_spec = jax.ShapeDtypeStruct((b, cfg.nvariables), cfg.dtype)
+    dim = "b" if n_dev == 1 else f"{n_dev}*b"
+    (b,) = jax.export.symbolic_shape(dim, scope=scope)
+    kw = {} if sharding is None else {"sharding": sharding}
+    x_spec = jax.ShapeDtypeStruct((b, cfg.nvariables), cfg.dtype, **kw)
     if not conditioned:
         return (x_spec,)
-    ys_spec = jax.ShapeDtypeStruct((b, cfg.nconditions), cfg.dtype)
+    ys_spec = jax.ShapeDtypeStruct((b, cfg.nconditions), cfg.dtype, **kw)
     return (x_spec, ys_spec)
 
 
@@ -62,6 +65,7 @@ def export_logpdf(
     icnf,
     params: Pytree,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
 ) -> "jax.export.Exported":
     """Export the exact (TestMode) log-density with ``params`` baked in.
 
@@ -73,26 +77,45 @@ def export_logpdf(
 
     ``platforms``: e.g. ``("tpu", "cpu")`` to lower for both (default: the
     current backend only).
+
+    ``mesh``: a :class:`jax.sharding.Mesh` for **multi-chip serving** — the
+    artifact is exported SPMD with the batch sharded over the mesh's
+    ``data`` axis (``parallel.data_sharding``); the serving process loads it
+    onto an identically-shaped mesh and passes batch-sharded arrays (batch
+    divisible by the device count — the symbolic batch is ``n_dev*b``).
+    Validated mesh-parity in tests/test_export.py on the 8-device CPU mesh.
     """
     from ..core import log_prob
 
     cfg = icnf.config
+    sharding = None
+    n_dev = 1
+    if mesh is not None:
+        from ..parallel.mesh import data_sharding
+
+        sharding = data_sharding(mesh)
+        n_dev = int(mesh.devices.size)
 
     if cfg.conditioned:
 
         def f(x, ys):
+            if sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, sharding)
+                ys = jax.lax.with_sharding_constraint(ys, sharding)
             return log_prob(icnf, Mode.TEST, x, params, ys=ys)
 
     else:
 
         def f(x):
+            if sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, sharding)
             return log_prob(icnf, Mode.TEST, x, params)
 
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)
     return jax.export.export(jax.jit(f), **kw)(
-        *_specs_batch_poly(icnf, cfg.conditioned)
+        *_specs_batch_poly(icnf, cfg.conditioned, sharding, n_dev)
     )
 
 

@@ -17,7 +17,9 @@ A flow beating the FULL-covariance Gaussian on held-out data demonstrates
 real nonlinear density learning on real measurements.
 
 Run: python benchmarks/tabular_real.py               (TPU)
-     JAX_PLATFORMS=cpu python benchmarks/tabular_real.py --epochs 150
+     python benchmarks/tabular_real.py --cpu --epochs 150
+(--cpu forces the CPU backend in-process — a JAX_PLATFORMS=cpu shell prefix
+is silently clobbered by the axon sitecustomize, CLAUDE.md)
 """
 
 import argparse
@@ -27,6 +29,11 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if "--cpu" in sys.argv:  # must precede backend init (axon sitecustomize gotcha)
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,24 +90,37 @@ def run(name, epochs, h, lam, seed=0, chunk_epochs=100, patience=3):
     icnf_eval = cnf.ICNF(config=dataclasses.replace(icnf.config, solver=EVAL),
                          net=net)
 
-    model = cnf.ICNFModel(icnf, batchsize=0, epochs=chunk_epochs,
-                          key=jax.random.PRNGKey(seed + 1))
+    # honor --epochs exactly: full chunks plus a remainder chunk (each
+    # distinct chunk length is one extra step-compile via its own model;
+    # warm-start keeps training state continuous across them)
+    n_full, rem = divmod(epochs, chunk_epochs)
+    schedule = [chunk_epochs] * n_full + ([rem] if rem else [])
+    models = {}
     params = opt_state = key = None
     best = {"val": float("inf"), "params": None, "epoch": 0}
+    done_epochs = 0
     stale = 0
-    for chunk in range(max(1, epochs // chunk_epochs)):
-        res = model.fit(xtr, params=params, opt_state=opt_state, key=key)
+    for ce in schedule:
+        if ce not in models:
+            models[ce] = cnf.ICNFModel(icnf, batchsize=0, epochs=ce,
+                                       key=jax.random.PRNGKey(seed + 1))
+        res = models[ce].fit(xtr, params=params, opt_state=opt_state, key=key)
         params, opt_state, key = res.params, res.opt_state, res.key
+        done_epochs += ce
         lp_val, _, _ = cnf.inference(icnf_eval, Mode.TEST, xval, params)
         val = -float(jnp.mean(lp_val))
         if val < best["val"]:
-            best = {"val": val, "params": params,
-                    "epoch": (chunk + 1) * chunk_epochs}
+            best = {"val": val, "params": params, "epoch": done_epochs}
             stale = 0
         else:
             stale += 1
             if stale >= patience:
                 break
+    if best["params"] is None:
+        raise RuntimeError(
+            f"{name}: validation NLL was non-finite in every chunk "
+            f"(diverged fit) — nothing to report"
+        )
 
     lp, _, stats = cnf.inference(icnf_eval, Mode.TEST, xte, best["params"])
     nll_flow = -float(jnp.mean(lp))

@@ -82,7 +82,7 @@ def export_logpdf(
     artifact is exported SPMD with the batch sharded over the mesh's
     ``data`` axis (``parallel.data_sharding``); the serving process loads it
     onto an identically-shaped mesh and passes batch-sharded arrays (batch
-    divisible by the device count — the symbolic batch is ``n_dev*b``).
+    divisible by the DATA-axis size — the symbolic batch is ``n_data*b``).
     Validated mesh-parity in tests/test_export.py on the 8-device CPU mesh.
     """
     from ..core import log_prob
@@ -94,7 +94,10 @@ def export_logpdf(
         from ..parallel.mesh import data_sharding
 
         sharding = data_sharding(mesh)
-        n_dev = int(mesh.devices.size)
+        # divisibility requirement follows the axis the batch is SHARDED
+        # over (the 'data' axis), not the whole mesh — a data x model mesh
+        # only needs batches divisible by the data-axis size
+        n_dev = int(mesh.shape.get("data", mesh.devices.size))
 
     if cfg.conditioned:
 

@@ -121,3 +121,18 @@ def test_spmd_export_on_mesh():
         want = cnf.log_prob(icnf, Mode.TEST, x, params)
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    rtol=1e-5)
+
+
+def test_spmd_export_data_model_mesh():
+    """On a data x model mesh the batch divisibility follows the DATA axis
+    size, not the whole device count (review finding round 4): a 4x2 mesh
+    accepts batches divisible by 4."""
+    from continuousnormalizingflows_tpu.parallel import data_sharding, make_mesh
+
+    icnf, params = make()
+    mesh = make_mesh(model=2)  # 4 data x 2 model on the 8-device CPU backend
+    exp = ex.export_logpdf(icnf, params, mesh=mesh)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (12, 2))  # 12 % 4 == 0
+    out = jax.jit(exp.call)(jax.device_put(x, data_sharding(mesh)))
+    want = cnf.log_prob(icnf, Mode.TEST, x, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5)

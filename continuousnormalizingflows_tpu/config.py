@@ -33,6 +33,13 @@ import jax.numpy as jnp
 # distributions, and utils.datasets all import it from here)
 LOG_2PI = 1.8378770664093453
 
+# The fixed-fraction starting step used wherever dt0="auto" does not apply:
+# the backward adjoint solve, the ABM order-1 ramp, the fused adaptive
+# kernel, and the HNW non-finite fallback (one shared constant — retuning it
+# must move all four in lockstep; measured rationales in ops/ode.py and
+# ops/adjoint.py docstrings).
+DEFAULT_FIXED_DT0 = 0.01
+
 __all__ = [
     "LOG_2PI",
     "Mode",

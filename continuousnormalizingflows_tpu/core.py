@@ -58,6 +58,7 @@ __all__ = [
 
 Pytree = Any
 
+
 def base_logpdf(cfg: ICNFConfig, z: jax.Array) -> jax.Array:
     """Base log-density over the augmented dimension ``nz`` — the reference's
     ``logpdf(basedist, z)`` (inference_sol, base_icnf.jl:158-172).  Default
@@ -214,24 +215,13 @@ def _inference_impl(icnf: ICNF, mode: Mode, xs, params, key, ys):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
-def _generate_impl(icnf: ICNF, mode: Mode, params, key, n: int, ys):
-    cfg = icnf.config
-    k_base, k_eps, k_steer = jax.random.split(key, 3)
-
-    z1 = sample_base(cfg, k_base, n)
-    u0 = jnp.concatenate([z1, jnp.zeros((n, 3), cfg.dtype)], axis=-1)
-
-    eps = sample_probe(cfg, k_eps, n) if mode.stochastic else None
-    t0, t1 = cfg.tspan
-    t1 = steer_t1(cfg, k_steer) if (mode.regularized and cfg.steered) else t1
-
-    u_final, _nfe = _solve(icnf, mode, u0, t1, t0, params, eps, ys)
-    return u_final[..., : cfg.nvariables]
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def _generate_logp_impl(icnf: ICNF, mode: Mode, params, key, n: int, ys):
-    """Like :func:`_generate_impl` but also returns the exact log-density of
+    """Backward (generating) solve, returning ``(samples, logp̂x)``.  The
+    plain ``generate`` path shares THIS implementation and discards the
+    log-density output (one compiled program instead of two near-identical
+    bodies that must keep their key-split/pad/steer preambles in lockstep —
+    the logp read-off is one ``base_logpdf`` + add on an accumulator the
+    solve integrates anyway).  Also returns the exact log-density of
     each sample, read off the SAME solve: the backward integration already
     accumulates ``dlogp_b = ∫_{t1}^{t0} -tr(J) dt = -Δlogp_forward``, so
     ``logp(x) = logpdf_base(z1) + dlogp_b`` — no second (inference) solve.
@@ -265,7 +255,7 @@ def _generate_tracefree_impl(icnf: ICNF, mode: Mode, params, key, n: int, ys):
     ``generate_prob`` always integrates the full augmented system
     (base_icnf.jl:298-404) — this path is a TPU-first capability beyond it.
 
-    Keys are split exactly as in :func:`_generate_impl` (base/probe/steer),
+    Keys are split exactly as in :func:`_generate_logp_impl` (base/probe/steer),
     so for the same ``key`` the base draw and steered end time are
     *identical* to the full path; samples agree to solver tolerance (the
     adaptive error norm no longer sees the accumulator components).
@@ -376,7 +366,7 @@ def generate(
         ys, _ = _as_batch(ys)
     if trace_free:
         return _generate_tracefree_impl(icnf, mode, params, key, int(n), ys)
-    return _generate_impl(icnf, mode, params, key, int(n), ys)
+    return _generate_logp_impl(icnf, mode, params, key, int(n), ys)[0]
 
 
 def generate_with_logp(
@@ -390,9 +380,12 @@ def generate_with_logp(
     """``(samples, logp̂x)`` in ONE solve — the backward integration already
     carries the log-density accumulator, so sample log-probabilities are free
     (importance sampling / ELBO workflows otherwise pay a second full
-    inference solve per sample batch).  ``logp̂x`` matches
-    ``inference(icnf, mode, samples, ...)`` to solver tolerance; in TrainMode
-    it is the Hutchinson estimate, in TestMode exact."""
+    inference solve per sample batch).  In ``Mode.TEST`` (exact trace, no
+    steer) ``logp̂x`` matches ``inference(icnf, mode, samples, ...)`` to
+    solver tolerance.  In the stochastic modes it is a Hutchinson ESTIMATE
+    whose probe (and, with steering, end time) is drawn independently of
+    what a separate ``inference`` call would draw — the two agree only in
+    expectation, so use TestMode for importance weights."""
     cfg = icnf.config
     if ys is not None:
         ys = jnp.asarray(ys, cfg.dtype)

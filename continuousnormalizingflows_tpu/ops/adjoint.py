@@ -31,7 +31,7 @@ from typing import Any, Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import SolverConfig
+from ..config import DEFAULT_FIXED_DT0, SolverConfig
 from .ode import eval_dense, odeint, odeint_dense
 
 __all__ = ["odeint_diff"]
@@ -50,7 +50,7 @@ def _bwd_cfg(cfg: SolverConfig) -> SolverConfig:
     backward solve keeps the fixed-fraction ramp (same spirit as excluding
     q from the backward error norm via the seminorm)."""
     if isinstance(cfg.dt0, str):
-        return dataclasses.replace(cfg, dt0=0.01)
+        return dataclasses.replace(cfg, dt0=DEFAULT_FIXED_DT0)
     return cfg
 
 
@@ -153,10 +153,12 @@ _odeint_adjoint.defvjp(_adjoint_fwd, _adjoint_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _odeint_quadrature(f, cfg: SolverConfig, y0, t0, t1, args_d, args_nd):
-    y1, nfe, _dense = odeint_dense(
-        f, y0, t0, t1, _merge_args(args_d, args_nd), cfg
-    )
-    return y1, nfe
+    # Un-differentiated calls take the plain solve: odeint and odeint_dense
+    # are bitwise-identical in (y1, stats) (verified across methods/dt0),
+    # and the dense (dense_max_nodes, batch, state) node buffers exist only
+    # for the VJP — carrying them through an inference-only solve would be
+    # hundreds of MB of dead while-loop carry at image-scale batches.
+    return odeint(f, y0, t0, t1, _merge_args(args_d, args_nd), cfg)
 
 
 def _quadrature_fwd(f, cfg, y0, t0, t1, args_d, args_nd):

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import ABM_MAX_ORDER, SolverConfig
+from ..config import ABM_MAX_ORDER, DEFAULT_FIXED_DT0, SolverConfig
 
 __all__ = [
     "odeint",
@@ -221,7 +221,7 @@ def _initial_dt(f, t0, y0, f0, args, cfg, span, direction, err_order, tdt):
     dt = jnp.minimum(jnp.minimum(100.0 * h0, h1), jnp.abs(span))
     # non-finite fallback (e.g. an overflowing Euler probe): the controller's
     # reject-and-shrink path recovers from a plain fixed start
-    dt = jnp.where(jnp.isfinite(dt), dt, 0.01 * jnp.abs(span))
+    dt = jnp.where(jnp.isfinite(dt), dt, DEFAULT_FIXED_DT0 * jnp.abs(span))
     return direction * dt, 1
 
 
@@ -591,7 +591,9 @@ def odeint_abm(
     # rejections (measured: TRAIN NFE 25 -> 32) — the fixed-fraction ramp is
     # the right start for ABM
     dt_init, nfe_init = (
-        span * jnp.asarray(0.01 if isinstance(cfg.dt0, str) else cfg.dt0, tdt),
+        span * jnp.asarray(
+            DEFAULT_FIXED_DT0 if isinstance(cfg.dt0, str) else cfg.dt0, tdt
+        ),
         0,
     )
 

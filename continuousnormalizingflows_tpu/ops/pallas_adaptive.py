@@ -88,7 +88,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import ICNFConfig, Mode, SolverConfig, TraceEstimator
+from ..config import (DEFAULT_FIXED_DT0, ICNFConfig, Mode, SolverConfig,
+                      TraceEstimator)
 from .ode import DOPRI5, SolverStats, _DT_GIVE_UP
 from .pallas_solve import (
     LANE,
@@ -468,7 +469,7 @@ def _scfg_tuple(solver: SolverConfig):
         float(solver.atol),
         # mapped field: the per-tile controller keeps a fixed start; dt0="auto"
         # (the XLA paths' HNW starting-step algorithm) maps to the old default
-        0.01 if isinstance(solver.dt0, str) else float(solver.dt0),
+        DEFAULT_FIXED_DT0 if isinstance(solver.dt0, str) else float(solver.dt0),
         float(solver.safety),
         float(solver.min_factor),
         float(solver.max_factor),
@@ -543,6 +544,10 @@ def _fused_adaptive_fwd(u0, eps, ys_pad, params, tspan, nz, t_col, scfg,
 
 
 def _fused_adaptive_bwd(nz, t_col, scfg, max_nodes, residuals, cotangents):
+    # safety clamp at the kernel's own API (not just core._solve): a larger
+    # buffer compile-time-OOMs scoped VMEM after a multi-minute Mosaic
+    # compile (measured at 128 nodes — module docstring)
+    max_nodes = min(max_nodes, MAX_NODES_VMEM_CAP)
     g, _g_rows = cotangents  # stats rows are diagnostics — cotangent dropped
     u0, eps, ys_pad, params, tspan = residuals
     (b, sd, n_in, h, n_out, u0_p, eps_p, ys_full, packed, t0a, t1a) = _prep(

@@ -250,6 +250,15 @@ class ICNFConfig:
     exact_chunk: int = 0
     sweep_axis: Any = None
     steer_rate: float = 0.1
+    # Steering distribution (reference ``steerdist``, icnf.jl:49; defaulted
+    # to ``Uniform(-steer_rate, steer_rate)`` at icnf.jl:104 and drawn as
+    # ``rand(rng, steerdist)`` in steer_tspan, base_icnf.jl:36):  ``None``
+    # keeps the uniform default parameterized by ``steer_rate``; otherwise a
+    # sampling-capable distribution (``sample_fn(key, shape, dtype)`` — see
+    # distributions.CustomDist; logpdf never needed) drawing the multiplier
+    # ``r`` in ``t1' = t1 + |t1 - t0| * r``.  Static at trace time — create
+    # the object once and reuse it (identity hashing).
+    steer_dist: Any = None
     lambda_1: float = 0.01  # kinetic-energy weight (RNODE)
     lambda_2: float = 0.01  # Jacobian-Frobenius weight (RNODE)
     lambda_3: float = 0.01  # terminal augmented-norm weight (ANODE)
@@ -298,8 +307,28 @@ class ICNFConfig:
         if not isinstance(self.probe_dist, ProbeDist):
             if getattr(self.probe_dist, "sample_fn", None) is not None:
                 pass  # custom probe: duck-typed (logpdf never needed)
+            elif hasattr(self.probe_dist, "sample_fn") or not isinstance(
+                self.probe_dist, str
+            ):
+                # a CustomDist-like object that is missing its sampler (or any
+                # non-enum-coercible value): name the actual problem instead of
+                # falling through to an opaque "not a valid ProbeDist"
+                raise ValueError(
+                    "probe_dist must be a ProbeDist enum value or a "
+                    "distribution with a non-None sample_fn(key, shape, dtype) "
+                    f"(see distributions.CustomDist); got {self.probe_dist!r} "
+                    "with sample_fn=None"
+                )
             else:
                 object.__setattr__(self, "probe_dist", ProbeDist(self.probe_dist))
+        if self.steer_dist is not None and (
+            getattr(self.steer_dist, "sample_fn", None) is None
+        ):
+            raise ValueError(
+                "steer_dist needs a non-None sample_fn(key, shape, dtype) "
+                "(see distributions.CustomDist); None selects "
+                "Uniform(-steer_rate, steer_rate)"
+            )
         if self.base_dist is not None and (
             getattr(self.base_dist, "logpdf_fn", None) is None
             or getattr(self.base_dist, "sample_fn", None) is None
@@ -328,7 +357,9 @@ class ICNFConfig:
 
     @property
     def steered(self) -> bool:
-        return self.steer_rate != 0.0
+        # a custom steer_dist activates steering regardless of steer_rate
+        # (the rate only parameterizes the uniform default, icnf.jl:104)
+        return self.steer_rate != 0.0 or self.steer_dist is not None
 
     @property
     def nz(self) -> int:

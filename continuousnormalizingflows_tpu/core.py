@@ -103,11 +103,18 @@ def sample_probe(cfg: ICNFConfig, key: jax.Array, batch: int) -> jax.Array:
 
 
 def steer_t1(cfg: ICNFConfig, key: jax.Array) -> jax.Array:
-    """STEER: randomized end time, train mode only (base_icnf.jl:23-39)."""
+    """STEER: randomized end time, train mode only (base_icnf.jl:23-39):
+    ``t1' = t1 + |t1 - t0| * r`` with ``r ~ steerdist`` (the draw at
+    base_icnf.jl:36).  ``cfg.steer_dist`` is the reference's pluggable
+    ``steerdist`` field (icnf.jl:49); the default ``None`` is its
+    ``Uniform(-steer_rate, steer_rate)`` (icnf.jl:104)."""
     t0, t1 = cfg.tspan
-    r = jax.random.uniform(
-        key, (), cfg.dtype, minval=-cfg.steer_rate, maxval=cfg.steer_rate
-    )
+    if cfg.steer_dist is not None:
+        r = cfg.steer_dist.sample_fn(key, (), cfg.dtype)
+    else:
+        r = jax.random.uniform(
+            key, (), cfg.dtype, minval=-cfg.steer_rate, maxval=cfg.steer_rate
+        )
     return jnp.asarray(t1, cfg.dtype) + abs(t1 - t0) * r
 
 
@@ -140,6 +147,24 @@ def _solve(
         if fused_adaptive_applicable(cfg, icnf.net, mode) and fused_adaptive_tile(
             u0.shape[0]
         ):
+            if cfg.solver.dense_max_nodes > MAX_NODES_VMEM_CAP:
+                import warnings
+
+                # trace-time, not per step: this closure runs once per jit
+                # trace.  Without the warning a raised dense_max_nodes (the
+                # SolverConfig docs' stiff-flow advice) silently caps at the
+                # VMEM ceiling and overflow NaN-poisons gradients with nothing
+                # pointing at the cap (ADVICE round 4).
+                warnings.warn(
+                    f"fused_adaptive caps the backward node buffer at "
+                    f"{MAX_NODES_VMEM_CAP} nodes (VMEM ceiling; 128 nodes "
+                    f"compile-OOMs on v5e) but solver.dense_max_nodes="
+                    f"{cfg.solver.dense_max_nodes} — solves needing more than "
+                    f"{MAX_NODES_VMEM_CAP} accepted steps will NaN-poison "
+                    f"gradients.  Set fused_adaptive=False to use the XLA "
+                    f"path, which honors dense_max_nodes fully.",
+                    stacklevel=2,
+                )
             t_col = cfg.nz if not cfg.autonomous else None
             # the backward node-buffer capacity honors dense_max_nodes
             # downward but is capped at the measured VMEM ceiling (128 nodes

@@ -73,6 +73,7 @@ class ICNF:
         exact_chunk: int = 0,
         sweep_axis=None,
         steer_rate: float = 0.1,
+        steer_dist=None,
         lambda_1: float = 0.01,
         lambda_2: float = 0.01,
         lambda_3: float = 0.01,
@@ -86,11 +87,13 @@ class ICNF:
     ) -> "ICNF":
         """Build an ICNF with reference-matching defaults (icnf.jl:53-103).
 
-        ``base_dist`` / ``probe_dist``: pluggable base and Hutchinson-probe
-        distributions (the reference's ``basedist``/``epsdist`` constructor
-        arguments, icnf.jl:76-83) — see
+        ``base_dist`` / ``probe_dist`` / ``steer_dist``: pluggable base,
+        Hutchinson-probe, and steering distributions (the reference's
+        ``basedist``/``epsdist``/``steerdist`` constructor arguments,
+        icnf.jl:76-83 and icnf.jl:49,104) — see
         :mod:`continuousnormalizingflows_tpu.distributions`; the defaults are
-        the reference's standard normal for both.
+        the reference's standard normal for base/probe and
+        ``Uniform(-steer_rate, steer_rate)`` for the steering multiplier.
 
         ``nprobes``: Hutchinson probes per solve.  The reference fixes 1
         (base_icnf.jl:207-208); this is a capability beyond it.  Measured on
@@ -120,6 +123,7 @@ class ICNF:
             exact_chunk=exact_chunk,
             sweep_axis=sweep_axis,
             steer_rate=steer_rate,
+            steer_dist=steer_dist,
             lambda_1=lambda_1,
             lambda_2=lambda_2,
             lambda_3=lambda_3,

@@ -95,13 +95,25 @@ class FitResult:
     ``opt_state`` is the final optimizer state and ``key`` the advanced PRNG
     key — feed both back to ``fit(params=..., opt_state=..., key=...)`` for an
     *exact* mid-training resume (same probe/shuffle stream the longer run
-    would have drawn)."""
+    would have drawn).
+
+    With ``validation_data`` the validated-fit fields are populated:
+    ``val_history`` is ``[(epoch, val_nll), ...]``, ``best_params`` the
+    parameters at the best validation NLL (``None`` if every evaluation was
+    non-finite — a diverged fit), ``best_val_nll``/``best_epoch`` its value
+    and epoch.  ``params`` stays the FINAL parameters (they pair with
+    ``opt_state``/``key`` for exact resume); score/serve with
+    ``best_params``."""
 
     params: Pytree
     history: List[float]
     stats: dict
     opt_state: Pytree = None
     key: Optional[jax.Array] = None
+    val_history: List[tuple] = dataclasses.field(default_factory=list)
+    best_params: Pytree = None
+    best_val_nll: Optional[float] = None
+    best_epoch: Optional[int] = None
 
 
 class ICNFModel:
@@ -119,6 +131,7 @@ class ICNFModel:
         mesh=None,
         steps_per_dispatch: int = 1,
         batch_transform: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+        eval_icnf: Optional[ICNF] = None,
     ) -> None:
         self.icnf = icnf
         self.optimizer = optimizer if optimizer is not None else default_optimizer()
@@ -136,13 +149,40 @@ class ICNFModel:
         # mlj_ext/core.jl:24-43, which cannot re-sample noise per step).
         # When None, the PRNG stream is unchanged (exact-resume compatible).
         self.batch_transform = batch_transform
+        # TestMode model for score()/validation (e.g. an adaptive-solver twin
+        # of a fixed-step training config — the measured-best pairing for the
+        # real-data benchmarks); None evaluates with the training icnf.
+        # Must share the training net (same params pytree).
+        if eval_icnf is not None and (
+            eval_icnf.config.nvariables != icnf.config.nvariables
+            or eval_icnf.config.nconditions != icnf.config.nconditions
+        ):
+            raise ValueError(
+                "eval_icnf must match the training icnf's nvariables/"
+                "nconditions (it evaluates the same params)"
+            )
+        self.eval_icnf = eval_icnf
         self._conditional = icnf.config.conditioned
         # jitted-step memo: repeated fit() calls (the eval-between-chunks
         # warm-start pattern) must reuse one compiled program, not retrace —
         # jax.jit caches by function identity, and _make_step builds a fresh
-        # closure per call.  Invalidated implicitly only by constructing a
-        # new model (attributes are treated as frozen after __init__).
+        # closure per call.  Mutating any attribute the compiled step closes
+        # over clears it (see __setattr__) — retrace, never silent reuse.
         self._step_cache: dict = {}
+
+    # Attributes the compiled train step closes over at trace time.  Mutating
+    # one after a fit() would otherwise leave the OLD value silently baked
+    # into the cached program (e.g. ``model.optimizer = ...`` between
+    # warm-restart chunks) — a silent-wrong-answer path; clearing the memo
+    # forces a retrace with the new value (VERDICT round-4 Weak #3).
+    _TRACED_ATTRS = ("icnf", "optimizer", "batch_transform", "mesh")
+
+    def __setattr__(self, name: str, value) -> None:
+        if name in self._TRACED_ATTRS and "_step_cache" in self.__dict__:
+            self._step_cache.clear()
+        super().__setattr__(name, value)
+        if name == "icnf" and "_step_cache" in self.__dict__:
+            super().__setattr__("_conditional", value.config.conditioned)
 
     # -- internals ---------------------------------------------------------
 
@@ -256,6 +296,9 @@ class ICNFModel:
         params: Optional[Pytree] = None,
         opt_state: Optional[Pytree] = None,
         key: Optional[jax.Array] = None,
+        validation_data=None,
+        eval_every: int = 1,
+        patience: Optional[int] = None,
     ) -> FitResult:
         """Run the epochs x minibatch MLE loop (reference fit,
         core_icnf.jl:32-58).  ``X``: (n, nvariables); ``Y``: (n, nconditions)
@@ -264,7 +307,28 @@ class ICNFModel:
         mid-training resume pairs with ``utils.checkpoint`` (save/load both);
         without ``key=`` the resume restarts the probe/shuffle stream from the
         constructor key (still valid training, just not bit-identical to the
-        uninterrupted run)."""
+        uninterrupted run).
+
+        Validation-based training control (beyond the reference's fixed-epochs
+        fit, core_icnf.jl:14-30 — for measured cause: at n ~ 10² rows a flow
+        memorizes in thousands of full-batch steps, e.g. wine test-NLL 16.4 at
+        400 epochs but 827 at 3000, PARITY round 4):
+
+        * ``validation_data`` — held-out ``Xval`` (or ``(Xval, Yval)`` for
+          conditional models).  Every ``eval_every`` epochs the validation
+          mean NLL is computed with ONE reused compiled TestMode evaluation
+          (:meth:`score`, on ``eval_icnf`` if set); the best-NLL parameters
+          are tracked in ``FitResult.best_params`` and the curve in
+          ``FitResult.val_history``.
+        * ``patience`` — stop after this many consecutive evaluations without
+          a validation improvement (early stopping).  ``None`` evaluates and
+          tracks the best but never stops early.  A non-finite validation NLL
+          counts as no improvement (a diverged fit therefore stops after
+          ``patience`` evals instead of burning the full budget).
+
+        The PRNG stream is UNCHANGED by validation (evaluation is
+        deterministic TestMode) — a validated run's training trajectory is
+        bit-identical to an unvalidated one up to the stopping epoch."""
         icnf = self.icnf
         xs_all = jnp.asarray(_table_to_matrix(X), icnf.config.dtype)
         if xs_all.ndim != 2 or xs_all.shape[1] != icnf.config.nvariables:
@@ -281,6 +345,47 @@ class ICNFModel:
                     f"Y must be (n, {icnf.config.nconditions}), got {ys_all.shape}"
                 )
         n = xs_all.shape[0]
+
+        val_active = validation_data is not None
+        xval = yval = None
+        if val_active:
+            if int(eval_every) < 1:
+                raise ValueError(f"eval_every must be >= 1, got {eval_every}")
+            if isinstance(validation_data, (tuple, list)):
+                xval, yval = validation_data
+            else:
+                xval = validation_data
+            if self._conditional and yval is None:
+                raise ValueError(
+                    "conditional model requires validation_data=(Xval, Yval)"
+                )
+        val_history: List[tuple] = []
+        best_params: Pytree = None
+        best_val = float("inf")
+        best_epoch: Optional[int] = None
+        stale = 0
+
+        def _epoch_end(epoch_done: int, params) -> bool:
+            """Validation hook at an epoch boundary; True = stop early.
+
+            Best-val params are snapshotted by copy: the next jitted step
+            DONATES its params input, so holding a bare reference would alias
+            a buffer about to be invalidated."""
+            nonlocal best_params, best_val, best_epoch, stale
+            if not val_active:
+                return False
+            if epoch_done % eval_every != 0 and epoch_done != self.epochs:
+                return False
+            vnll = self.score(xval, params, Y=yval)
+            val_history.append((epoch_done, vnll))
+            if vnll < best_val:  # NaN compares False: counts as stale below
+                best_val, best_epoch, stale = vnll, epoch_done, 0
+                best_params = jax.tree_util.tree_map(
+                    lambda a: jnp.array(a, copy=True), params
+                )
+                return False
+            stale += 1
+            return patience is not None and stale >= patience
 
         key = key if key is not None else self.key
         if params is None:
@@ -299,6 +404,7 @@ class ICNFModel:
             )
         history: List[float] = []
         it = 0
+        epochs_run = 0
         t_start = time.perf_counter()
         last_loss = float("nan")
         spd = self.steps_per_dispatch
@@ -332,6 +438,9 @@ class ICNFModel:
                             if self.callback is not None:
                                 self.callback(it + j, last_loss)
                     it += k_done
+                epochs_run = _epoch + 1
+                if _epoch_end(epochs_run, params):
+                    break
             if it:
                 last_loss = float(losses[-1])
         else:
@@ -364,14 +473,25 @@ class ICNFModel:
                         if self.callback is not None:
                             self.callback(it, last_loss)
                     it += 1
+                epochs_run = _epoch + 1
+                if _epoch_end(epochs_run, params):
+                    break
             if it:
                 last_loss = float(l)
         stats = {
             "iterations": it,
             "epochs": self.epochs,
+            "epochs_run": epochs_run,
             "wall_time_s": time.perf_counter() - t_start,
             "final_loss": last_loss,
         }
+        if val_active:
+            stats.update(
+                best_val_nll=best_val if best_epoch is not None else float("nan"),
+                best_epoch=best_epoch,
+                stopped_early=epochs_run < self.epochs,
+                val_evals=len(val_history),
+            )
         if it:
             # per-solve diagnostics of the last train step (reference solver
             # verbosity analogue, icnf.jl:100-101): NFE, accepted/rejected
@@ -384,7 +504,9 @@ class ICNFModel:
             )
         return FitResult(
             params=params, history=history, stats=stats, opt_state=opt_state,
-            key=key,
+            key=key, val_history=val_history, best_params=best_params,
+            best_val_nll=(best_val if best_epoch is not None else None),
+            best_epoch=best_epoch,
         )
 
     def transform(self, X, params: Pytree, Y=None) -> jax.Array:
@@ -403,6 +525,23 @@ class ICNFModel:
             xs = _shim_layout(xs, self.icnf.config.nvariables)
         logpx, _augs, _nfe = inference(self.icnf, Mode.TEST, xs, params, ys=ys)
         return jnp.exp(logpx)
+
+    def score(self, X, params: Pytree, Y=None) -> float:
+        """Mean negative log-likelihood (nats, lower is better) under the
+        deterministic TestMode exact trace — the quantity every
+        density-estimation benchmark reports, as a one-call helper (the
+        reference exposes only per-sample densities via transform,
+        core_icnf.jl:60-68).  Evaluates with ``eval_icnf`` when set (e.g. an
+        adaptive reference-tolerance solver for a fixed-step-trained model —
+        the pairing the real-data benchmarks measured as correct); one
+        compiled program is reused across calls with the same data shape."""
+        icnf_eval = self.eval_icnf if self.eval_icnf is not None else self.icnf
+        if self._conditional and Y is None:
+            raise ValueError("conditional model requires Y to score")
+        ys = Y if self._conditional else None
+        xs = jnp.asarray(_table_to_matrix(X), icnf_eval.config.dtype)
+        logpx, _augs, _stats = inference(icnf_eval, Mode.TEST, xs, params, ys=ys)
+        return -float(jnp.mean(logpx))
 
     # -- persistence (reference MLJBase.save / machine(file),
     #    examples/usage.jl:79-103) ---------------------------------------

@@ -445,3 +445,58 @@ def test_float64_support():
         assert lp.dtype == jnp.float64 and bool(jnp.all(jnp.isfinite(lp)))
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_steer_dist_pluggable():
+    """``steerdist`` as a first-class constructor field (icnf.jl:49, default
+    Uniform at icnf.jl:104, drawn at base_icnf.jl:36): a constant custom
+    steering distribution must reproduce BIT-EXACTLY the unsteered model
+    integrated over the equivalently extended span (same key => same probe;
+    only t1 differs, and it differs deterministically)."""
+    from continuousnormalizingflows_tpu.distributions import CustomDist
+
+    const_quarter = CustomDist(
+        None, lambda key, shape, dtype: jnp.full(shape, 0.25, dtype), "const"
+    )
+    kw = dict(lambda_1=0.01, lambda_2=0.01, lambda_3=0.0)
+    steered = make(steer_rate=0.0, steer_dist=const_quarter, **kw)
+    assert steered.config.steered  # a steer_dist activates STEER on its own
+    stretched = cnf.ICNF(
+        config=cnf.ICNFConfig(
+            nvariables=2, tspan=(0.0, 1.25), steer_rate=0.0,
+            solver=FAST_FIXED, **kw,
+        ),
+        net=steered.net,
+    )
+    params = steered.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 2)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    l_steer = float(cnf.loss(steered, Mode.TRAIN, x, params, key=key))
+    l_stretch = float(cnf.loss(stretched, Mode.TRAIN, x, params, key=key))
+    assert l_steer == l_stretch, (l_steer, l_stretch)
+
+    # the distribution is actually consulted: a different constant moves t1
+    const_zero = CustomDist(
+        None, lambda key, shape, dtype: jnp.zeros(shape, dtype), "zero"
+    )
+    plain = make(steer_rate=0.0, steer_dist=const_zero, **kw)
+    l_zero = float(cnf.loss(plain, Mode.TRAIN, x, params, key=key))
+    assert l_zero != l_steer
+
+    # TEST mode ignores steering (steer_tspan dispatches on TrainMode{true})
+    lp_s, _, _ = cnf.inference(steered, Mode.TEST, x, params)
+    lp_z, _, _ = cnf.inference(plain, Mode.TEST, x, params)
+    np.testing.assert_array_equal(np.asarray(lp_s), np.asarray(lp_z))
+
+    # validation: a steer_dist without a sampler is rejected loudly
+    with pytest.raises(ValueError, match="steer_dist needs"):
+        make(steer_dist=CustomDist(lambda z: z, None))
+
+    # end-to-end: a short TRAIN-mode fit through the estimator runs and is
+    # finite with a non-uniform steering distribution
+    from continuousnormalizingflows_tpu.distributions import uniform_probe
+
+    icnf_fit = make(steer_rate=0.0, steer_dist=uniform_probe(), **kw)
+    res = cnf.ICNFModel(icnf_fit, batchsize=0, epochs=3,
+                        key=jax.random.PRNGKey(1)).fit(x)
+    assert np.isfinite(res.stats["final_loss"])

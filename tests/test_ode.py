@@ -721,3 +721,39 @@ class TestNonFiniteRobustness:
         np.testing.assert_allclose(
             np.asarray(y1), 0.5 * np.exp(0.7), rtol=1e-4
         )
+
+
+@pytest.mark.parametrize("method", ["dopri5", "tsit5", "abm"])
+@pytest.mark.parametrize("dt0", ["auto", 0.01])
+def test_odeint_and_dense_primal_identical(method, dt0):
+    """The quadrature custom_vjp assumes its un-differentiated primal
+    (``odeint``) and its fwd-rule solve (``odeint_dense``) are BITWISE
+    identical in (y1, stats) — otherwise values under value_and_grad would
+    diverge from plain calls (ops/adjoint.py ``_odeint_quadrature``).  Pin
+    the invariant across every dense-capable method and both dt0 settings
+    (ADVICE round 4)."""
+    import numpy as np
+
+    from continuousnormalizingflows_tpu.ops.ode import odeint, odeint_dense
+
+    if method == "abm" and dt0 == "auto":
+        pytest.skip("abm always uses the fixed-fraction start (ops.ode)")
+    cfg = SolverConfig(method=method, rtol=1e-5, atol=1e-5, dt0=dt0,
+                       gradient="quadrature")
+
+    def f(t, y, args):
+        return jnp.sin(3.0 * y) * args["a"] - 0.5 * y * t
+
+    y0 = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)), jnp.float32)
+    args = {"a": jnp.float32(0.8)}
+
+    @jax.jit
+    def both(y0, args):
+        y_plain, s_plain = odeint(f, y0, 0.0, 1.0, args, cfg)
+        y_dense, s_dense, _nodes = odeint_dense(f, y0, 0.0, 1.0, args, cfg)
+        return y_plain, s_plain, y_dense, s_dense
+
+    y_plain, s_plain, y_dense, s_dense = both(y0, args)
+    np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_dense))
+    for a, b in zip(s_plain, s_dense):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -419,3 +419,119 @@ def test_load_tabular_real_and_quick_fit():
         0.5 * jnp.sum(jnp.log(2 * jnp.pi * v) + (xte - mu) ** 2 / v, axis=-1)
     ))
     assert nll_flow < nll_diag, (nll_flow, nll_diag)
+
+
+def test_validated_fit_tracks_best_and_streams_match():
+    """fit(validation_data=...) — validation-based training control as API
+    (VERDICT round-4 item 1; beyond the reference's fixed-epochs fit,
+    core_icnf.jl:14-30).  Asserts: the val curve is recorded, best-val params
+    are tracked by copy, score() agrees with the recorded best, and the
+    training PRNG stream is UNCHANGED by validation (a validated run's params
+    are bit-equal to an unvalidated run's at the same epoch count)."""
+    x = datasets.gaussian_mixture(jax.random.PRNGKey(3), 128)
+    xv = datasets.gaussian_mixture(jax.random.PRNGKey(4), 64)
+    icnf = cnf.ICNF.create(nvariables=2, solver=FAST_TRAIN)
+    p0 = icnf.init(jax.random.PRNGKey(9))
+    kw = dict(batchsize=0, epochs=6, key=jax.random.PRNGKey(0))
+
+    m = cnf.ICNFModel(icnf, **kw)
+    res = m.fit(x, params=p0, validation_data=xv, eval_every=2)
+    assert [e for e, _ in res.val_history] == [2, 4, 6]
+    assert res.best_params is not None and res.best_epoch is not None
+    assert res.stats["val_evals"] == 3 and not res.stats["stopped_early"]
+    assert res.best_val_nll == min(v for _, v in res.val_history)
+    assert m.score(xv, res.best_params) == pytest.approx(res.best_val_nll)
+
+    plain = cnf.ICNFModel(icnf, **kw).fit(x, params=p0)
+    for a, b in zip(jax.tree_util.tree_leaves(res.params),
+                    jax.tree_util.tree_leaves(plain.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # conditional models validate with (Xval, Yval); a bare Xval is rejected
+    icnf_c = cnf.ICNF.create(nvariables=2, nconditions=1, solver=FAST_TRAIN)
+    mc = cnf.CondICNFModel(icnf_c, batchsize=0, epochs=2,
+                           key=jax.random.PRNGKey(0))
+    y = jnp.zeros((128, 1)); yv = jnp.zeros((64, 1))
+    with pytest.raises(ValueError, match="validation_data"):
+        mc.fit(x, y, validation_data=xv)
+    resc = mc.fit(x, y, validation_data=(xv, yv), eval_every=1)
+    assert len(resc.val_history) == 2
+    with pytest.raises(ValueError, match="requires Y"):
+        mc.score(xv, resc.params)
+
+
+def test_validated_fit_wine_memorization_repro():
+    """The measured-necessary pattern (PARITY round 4: wine memorizes by
+    ~3000 full-batch steps, test NLL 16.4 -> 827) is now one keyword away:
+    at reduced scale (48 train rows) the validated fit must stop early and
+    its best-val params must beat the overfit final params on held-out test
+    data."""
+    from continuousnormalizingflows_tpu.utils.datasets import load_tabular_real
+
+    xtr_all, xte = load_tabular_real("wine", seed=0)
+    xval, xtr = xtr_all[:24], xtr_all[24:72]
+    icnf = cnf.ICNF.create(
+        nvariables=13, naugments=0, lambda_3=0.0, steer_rate=0.0,
+        solver=FAST_TRAIN,
+    )
+    m = cnf.ICNFModel(icnf, batchsize=0, epochs=800,
+                      key=jax.random.PRNGKey(1), steps_per_dispatch=8)
+    res = m.fit(xtr, validation_data=xval, eval_every=10, patience=4)
+    assert res.stats["stopped_early"], res.stats
+    assert res.stats["epochs_run"] < 400  # stops long before the budget
+    nll_best = m.score(xte, res.best_params)
+    nll_final = m.score(xte, res.params)
+    assert nll_best < nll_final, (nll_best, nll_final)
+
+
+def test_eval_icnf_scores_with_adaptive_solver():
+    """score()/validation on the eval_icnf twin: a fixed-step-trained model
+    evaluated at the reference's adaptive tolerances (the pairing the
+    real-data benchmarks measured as correct)."""
+    import dataclasses as dc
+
+    icnf = cnf.ICNF.create(nvariables=2, solver=FAST_TRAIN)
+    icnf_eval = cnf.ICNF(
+        config=dc.replace(icnf.config,
+                          solver=SolverConfig(method="dopri5", rtol=1e-4,
+                                              atol=1e-4)),
+        net=icnf.net,
+    )
+    x = datasets.gaussian_mixture(jax.random.PRNGKey(3), 64)
+    m = cnf.ICNFModel(icnf, eval_icnf=icnf_eval, batchsize=0, epochs=2,
+                      key=jax.random.PRNGKey(0))
+    res = m.fit(x, validation_data=x, eval_every=1)
+    lp, _, _ = cnf.inference(icnf_eval, Mode.TEST, x, res.params)
+    assert m.score(x, res.params) == pytest.approx(-float(jnp.mean(lp)))
+    with pytest.raises(ValueError, match="eval_icnf"):
+        cnf.ICNFModel(icnf, eval_icnf=cnf.ICNF.create(nvariables=3))
+
+
+def test_step_cache_cleared_on_traced_attr_mutation():
+    """The compiled-step memo is invalidated when any attribute the step
+    closes over is mutated (VERDICT round-4 Weak #3: a post-fit
+    ``model.optimizer = ...`` silently baked the OLD optimizer into the
+    cached program).  Mutation => retrace with the new value, asserted by
+    divergent training results."""
+    x = datasets.gaussian_mixture(jax.random.PRNGKey(3), 64)
+    icnf = cnf.ICNF.create(nvariables=2, solver=FAST_TRAIN)
+    p0 = icnf.init(jax.random.PRNGKey(9))
+
+    m = cnf.ICNFModel(icnf, batchsize=0, epochs=2, key=jax.random.PRNGKey(0))
+    r1 = m.fit(x, params=p0)
+    assert m._step_cache
+    m.optimizer = cnf.default_optimizer(learning_rate=1e-6)
+    assert not m._step_cache, "mutating optimizer must clear the step memo"
+    r2 = m.fit(x, params=p0)
+    # the new optimizer is actually in effect (lr 1e-3 vs 1e-6 diverge)
+    a = jax.tree_util.tree_leaves(r1.params)[0]
+    b = jax.tree_util.tree_leaves(r2.params)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    # batch_transform and icnf mutations clear too (mesh follows same path)
+    m.fit(x, params=p0)
+    m.batch_transform = lambda k, xb: xb
+    assert not m._step_cache
+    m.fit(x, params=p0)
+    m.icnf = cnf.ICNF.create(nvariables=2, nconditions=1, solver=FAST_TRAIN)
+    assert not m._step_cache and m._conditional  # _conditional refreshed

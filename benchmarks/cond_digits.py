@@ -74,13 +74,27 @@ def main():
                     help="fraction of samples given a random +-1px shift per "
                          "step (labels unchanged; 0.5 measured optimal on "
                          "unconditional digits, PARITY round 4)")
+    ap.add_argument("--eval-every", type=int, default=500,
+                    help="steps between validation evaluations")
+    ap.add_argument("--patience", type=int, default=6,
+                    help="early-stop after this many stale validation evals "
+                         "(0 = fixed budget)")
+    ap.add_argument("--n-val", type=int, default=150)
     args = ap.parse_args()
     print("device:", jax.devices()[0], flush=True)
 
-    x_tr, x_te, lab_tr, lab_te = datasets.digits_split(with_labels=True)
+    x_tr_all, x_te, lab_tr_all, lab_te = datasets.digits_split(with_labels=True)
+    # validation slice off the train split (round 5: control through
+    # fit(validation_data=...); test untouched until the final report)
+    x_val_i, x_tr = x_tr_all[: args.n_val], x_tr_all[args.n_val :]
+    lab_val, lab_tr = lab_tr_all[: args.n_val], lab_tr_all[args.n_val :]
     y_tr = jax.nn.one_hot(lab_tr, NCLASS, dtype=jnp.float32)
     y_te = jax.nn.one_hot(lab_te, NCLASS, dtype=jnp.float32)
+    y_val = jax.nn.one_hot(lab_val, NCLASS, dtype=jnp.float32)
     m, s, log_s_sum, y0 = datasets.digits_standardizer(x_tr, alpha=ALPHA)
+    yv_logit, _ = datasets.dequantize_logit(x_val_i, jax.random.PRNGKey(11),
+                                            alpha=ALPHA)
+    v_val = (yv_logit - m) / s  # fixed standardized val tensor (one draw)
 
     def deq_standardize(k, xb_int):
         if args.augment_prob > 0.0:
@@ -101,16 +115,27 @@ def main():
         opt = optax.chain(optax.clip_by_global_norm(1.0),
                           optax.adamw(lr, weight_decay=1e-4))
         cls = cnf.CondICNFModel if conditional else cnf.ICNFModel
-        model = cls(icnf, optimizer=opt, batchsize=args.batch, epochs=epochs,
+        model = cls(icnf, eval_icnf=icnf_eval, optimizer=opt,
+                    batchsize=args.batch, epochs=epochs,
                     steps_per_dispatch=steps_per_epoch,
                     batch_transform=deq_standardize,
-                    key=jax.random.PRNGKey(3), log_every=10_000_000)
+                    key=jax.random.PRNGKey(3), log_every=10_000_000,
+                    val_callback=lambda e, v: print(
+                        f"  {name} step {e*steps_per_epoch}: val NLL {v:.2f}",
+                        flush=True))
         t0 = time.perf_counter()
-        res = model.fit(x_tr, y_tr) if conditional else model.fit(x_tr)
+        eval_epochs = max(1, args.eval_every // steps_per_epoch)
+        patience = args.patience if args.patience > 0 else None
+        res = model.fit(
+            x_tr, y_tr if conditional else None,
+            validation_data=(v_val, y_val) if conditional else v_val,
+            eval_every=eval_epochs, patience=patience,
+        )
         train_s = time.perf_counter() - t0
+        best_params = res.best_params if res.best_params is not None else res.params
 
         @jax.jit
-        def bpd(x_int, ys, k, params=res.params, icnf_eval=icnf_eval):
+        def bpd(x_int, ys, k, params=best_params, icnf_eval=icnf_eval):
             y, ldj = datasets.dequantize_logit(x_int, k, alpha=ALPHA)
             lp, _a, _s2 = cnf.inference(icnf_eval, Mode.TEST, (y - m) / s,
                                         params, ys=ys)
@@ -119,14 +144,15 @@ def main():
         k_ev = jax.random.PRNGKey(9)
         bpd_te = jnp.mean(bpd(x_te, y_te if conditional else None, k_ev))
         results[name] = float(bpd_te)
-        print(f"{name:>7}: test {float(bpd_te):.4f} bits/dim "
-              f"({train_s:.0f}s train, {epochs * steps_per_epoch} steps)",
-              flush=True)
+        print(f"{name:>7}: test {float(bpd_te):.4f} bits/dim (best-val epoch "
+              f"{res.best_epoch}; {train_s:.0f}s train, "
+              f"{res.stats['epochs_run'] * steps_per_epoch} steps run of "
+              f"{epochs * steps_per_epoch})", flush=True)
 
         if conditional:
             # classification by likelihood: argmax_y logp(x | y)
             @jax.jit
-            def class_lp(x_int, k, params=res.params, icnf_eval=icnf_eval):
+            def class_lp(x_int, k, params=best_params, icnf_eval=icnf_eval):
                 y, _ = datasets.dequantize_logit(x_int, k, alpha=ALPHA)
                 v = (y - m) / s
 

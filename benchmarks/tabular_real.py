@@ -1,9 +1,10 @@
 """Real-data tabular density estimation (BASELINE config-4 class, real data).
 
 The flow literature benchmarks tabular density estimation on UCI tables
-(POWER/GAS/...; unavailable offline) — sklearn's bundled *real* UCI tables
-(wine 178x13, breast_cancer 569x30) are the in-image stand-ins, exactly as
-sklearn digits stands in for MNIST (ROADMAP round 3).  Protocol (standard
+(POWER/GAS/...; unavailable offline) — sklearn's bundled *real* tables
+(wine 178x13, breast_cancer 569x30, diabetes 442x9 raw clinical
+measurements) are the in-image stand-ins, exactly as sklearn digits stands
+in for MNIST (ROADMAP round 3).  Protocol (standard
 for tabular flows): z-score standardize on train stats, add small
 dequantization jitter (both tables have repeated/discretized measurement
 values — a continuous density on exact duplicates diverges), 80/20 split,
@@ -63,15 +64,15 @@ def gaussian_baselines(xtr, xte):
     return nll_diag, nll_full
 
 
-def run(name, epochs, h, lam, seed=0, chunk_epochs=100, patience=3):
-    """Chunked fit with validation early stopping (the standard UCI-tabular
-    protocol at n ~ 10² where a flow memorizes in thousands of full-batch
-    steps: measured on wine, 400 epochs test-NLL 16.4 but 3000 epochs 827 —
-    catastrophic overfit).  20% of the train split is held out for
-    validation; training warm-starts chunk to chunk through ONE compiled
-    step (the round-3 resume machinery) and stops after ``patience`` chunks
-    without a validation improvement; test NLL is reported at the best-val
-    params."""
+def run(name, epochs, h, lam, seed=0, eval_every=100, patience=3):
+    """Validated fit via the SUPPORTED estimator API (round 5; the round-4
+    hand-rolled chunk loop this replaces measured the protocol as necessary:
+    at n ~ 10² rows a flow memorizes in thousands of full-batch steps — wine
+    400 epochs test-NLL 16.4 but 3000 epochs 827).  20% of the train split is
+    held out for validation; ``fit(validation_data=..., eval_every=...,
+    patience=...)`` evaluates TestMode val NLL on the adaptive eval solver
+    (``eval_icnf``), tracks best-val params, and stops early; test NLL is
+    reported at ``FitResult.best_params``."""
     import dataclasses
 
     xtr_all, xte = load_tabular_real(name, seed=seed)
@@ -90,45 +91,24 @@ def run(name, epochs, h, lam, seed=0, chunk_epochs=100, patience=3):
     icnf_eval = cnf.ICNF(config=dataclasses.replace(icnf.config, solver=EVAL),
                          net=net)
 
-    # honor --epochs exactly: full chunks plus a remainder chunk (each
-    # distinct chunk length is one extra step-compile via its own model;
-    # warm-start keeps training state continuous across them)
-    n_full, rem = divmod(epochs, chunk_epochs)
-    schedule = [chunk_epochs] * n_full + ([rem] if rem else [])
-    models = {}
-    params = opt_state = key = None
-    best = {"val": float("inf"), "params": None, "epoch": 0}
-    done_epochs = 0
-    stale = 0
-    for ce in schedule:
-        if ce not in models:
-            models[ce] = cnf.ICNFModel(icnf, batchsize=0, epochs=ce,
-                                       key=jax.random.PRNGKey(seed + 1))
-        res = models[ce].fit(xtr, params=params, opt_state=opt_state, key=key)
-        params, opt_state, key = res.params, res.opt_state, res.key
-        done_epochs += ce
-        lp_val, _, _ = cnf.inference(icnf_eval, Mode.TEST, xval, params)
-        val = -float(jnp.mean(lp_val))
-        if val < best["val"]:
-            best = {"val": val, "params": params, "epoch": done_epochs}
-            stale = 0
-        else:
-            stale += 1
-            if stale >= patience:
-                break
-    if best["params"] is None:
+    model = cnf.ICNFModel(icnf, eval_icnf=icnf_eval, batchsize=0,
+                          epochs=epochs, key=jax.random.PRNGKey(seed + 1))
+    res = model.fit(xtr, validation_data=xval, eval_every=eval_every,
+                    patience=patience)
+    if res.best_params is None:
         raise RuntimeError(
-            f"{name}: validation NLL was non-finite in every chunk "
+            f"{name}: validation NLL was non-finite at every evaluation "
             f"(diverged fit) — nothing to report"
         )
 
-    lp, _, stats = cnf.inference(icnf_eval, Mode.TEST, xte, best["params"])
-    nll_flow = -float(jnp.mean(lp))
+    nll_flow = model.score(xte, res.best_params)
+    _, _, stats = cnf.inference(icnf_eval, Mode.TEST, xte, res.best_params)
     out = {
         "dataset": name, "d": d, "n_train": int(xtr.shape[0]),
         "n_val": int(xval.shape[0]), "n_test": int(xte.shape[0]),
-        "best_epoch": best["epoch"], "h": h,
-        "nll_flow": round(nll_flow, 3), "nll_val": round(best["val"], 3),
+        "best_epoch": res.best_epoch, "epochs_run": res.stats["epochs_run"],
+        "h": h,
+        "nll_flow": round(nll_flow, 3), "nll_val": round(res.best_val_nll, 3),
         "nll_gauss_full": round(nll_full, 3),
         "nll_gauss_diag": round(nll_diag, 3),
         "beats_full_gaussian": bool(nll_flow < nll_full),
@@ -141,6 +121,11 @@ def run(name, epochs, h, lam, seed=0, chunk_epochs=100, patience=3):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=2000)
+    ap.add_argument("--datasets", nargs="*",
+                    default=["wine", "breast_cancer", "diabetes"])
     args = ap.parse_args()
-    run("wine", args.epochs, h=64, lam=0.01)
-    run("breast_cancer", args.epochs, h=128, lam=0.01)
+    cfgs = {"wine": dict(h=64, lam=0.01),
+            "breast_cancer": dict(h=128, lam=0.01),
+            "diabetes": dict(h=64, lam=0.01)}
+    for name in args.datasets:
+        run(name, args.epochs, **cfgs[name])

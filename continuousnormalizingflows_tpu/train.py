@@ -128,6 +128,7 @@ class ICNFModel:
         key: Optional[jax.Array] = None,
         log_every: int = 64,
         callback: Optional[Callable[[int, float], None]] = None,
+        val_callback: Optional[Callable[[int, float], None]] = None,
         mesh=None,
         steps_per_dispatch: int = 1,
         batch_transform: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
@@ -140,6 +141,10 @@ class ICNFModel:
         self.key = key if key is not None else jax.random.PRNGKey(0)
         self.log_every = log_every
         self.callback = callback
+        # called as val_callback(epoch, val_nll) after each validation
+        # evaluation (the monitoring hook for validated fits — benchmarks
+        # print their progress lines here instead of hand-rolling the loop)
+        self.val_callback = val_callback
         self.mesh = mesh
         self.steps_per_dispatch = int(steps_per_dispatch)
         # per-step jitted data augmentation: ``xb = batch_transform(key, xb)``
@@ -378,6 +383,8 @@ class ICNFModel:
                 return False
             vnll = self.score(xval, params, Y=yval)
             val_history.append((epoch_done, vnll))
+            if self.val_callback is not None:
+                self.val_callback(epoch_done, vnll)
             if vnll < best_val:  # NaN compares False: counts as stale below
                 best_val, best_epoch, stale = vnll, epoch_done, 0
                 best_params = jax.tree_util.tree_map(

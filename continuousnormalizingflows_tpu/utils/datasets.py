@@ -264,9 +264,10 @@ def quantized_bits_per_dim(logp_y: jax.Array, ldj: jax.Array, d: int,
 def load_tabular_real(name: str, seed: int = 0, test_frac: float = 0.2,
                       jitter: float = 0.02):
     """Real UCI tabular data for density estimation, from sklearn's bundled
-    copies (``wine`` 178x13, ``breast_cancer`` 569x30) — the offline stand-in
-    for the flow literature's UCI tables (POWER/GAS/...), as sklearn digits
-    stands in for MNIST.
+    copies (``wine`` 178x13, ``breast_cancer`` 569x30, ``diabetes`` 442x9
+    raw clinical measurements) — the offline stand-in for the flow
+    literature's UCI tables (POWER/GAS/...), as sklearn digits stands in for
+    MNIST.
 
     Standard tabular-flow preprocessing: z-score standardize on TRAIN
     statistics, add small Gaussian jitter (both tables contain repeated /
@@ -276,10 +277,21 @@ def load_tabular_real(name: str, seed: int = 0, test_frac: float = 0.2,
     import numpy as np
     from sklearn import datasets as skd
 
-    loaders = {"wine": skd.load_wine, "breast_cancer": skd.load_breast_cancer}
+    loaders = {
+        "wine": skd.load_wine,
+        "breast_cancer": skd.load_breast_cancer,
+        # 442 patients x 10 raw clinical measurements (scaled=False keeps the
+        # real units); the binary sex column is dropped — a continuous density
+        # model can game a two-spike marginal through the dequantization
+        # jitter, so the estimation task is over the 9 continuous features
+        # (the UCI tabular-flow literature drops discrete columns the same way)
+        "diabetes": lambda: skd.load_diabetes(scaled=False),
+    }
     if name not in loaders:
         raise ValueError(f"unknown tabular dataset {name!r}; use {sorted(loaders)}")
     x = np.asarray(loaders[name]().data, dtype=np.float64)
+    if name == "diabetes":
+        x = np.delete(x, 1, axis=1)
     rng = np.random.default_rng(seed)
     x = x[rng.permutation(x.shape[0])]
     n_test = max(1, int(round(test_frac * x.shape[0])))

@@ -535,3 +535,43 @@ def test_step_cache_cleared_on_traced_attr_mutation():
     m.fit(x, params=p0)
     m.icnf = cnf.ICNF.create(nvariables=2, nconditions=1, solver=FAST_TRAIN)
     assert not m._step_cache and m._conditional  # _conditional refreshed
+
+
+def test_diabetes_validated_fit_beats_full_gaussian():
+    """Third real table (diabetes: 442 patients x 9 raw clinical
+    measurements, binary sex column dropped — see utils.datasets) through the
+    validated-fit API at reduced scale: the flow must beat the
+    FULL-covariance Gaussian on held-out data (full protocol + measured
+    numbers: benchmarks/tabular_real.py, PARITY round 5)."""
+    import dataclasses as dc
+
+    from continuousnormalizingflows_tpu.utils.datasets import load_tabular_real
+
+    xtr_all, xte = load_tabular_real("diabetes", seed=0)
+    assert xtr_all.shape[1] == 9  # sex dropped from the 10 raw columns
+    n_val = int(0.2 * xtr_all.shape[0])
+    xval, xtr = xtr_all[:n_val], xtr_all[n_val:]
+    icnf = cnf.ICNF.create(
+        nvariables=9, naugments=0, lambda_3=0.0, steer_rate=0.0,
+        solver=FAST_TRAIN,
+    )
+    icnf_eval = cnf.ICNF(
+        config=dc.replace(icnf.config,
+                          solver=SolverConfig(method="dopri5", rtol=1e-4,
+                                              atol=1e-4)),
+        net=icnf.net,
+    )
+    m = cnf.ICNFModel(icnf, eval_icnf=icnf_eval, batchsize=0, epochs=300,
+                      key=jax.random.PRNGKey(1), steps_per_dispatch=10)
+    res = m.fit(xtr, validation_data=xval, eval_every=50, patience=3)
+    nll_flow = m.score(xte, res.best_params)
+
+    xtr_n, xte_n = np.asarray(xtr), np.asarray(xte)
+    mu = xtr_n.mean(0)
+    cov = np.cov(xtr_n, rowvar=False) + 1e-4 * np.eye(9)
+    _, logdet = np.linalg.slogdet(cov)
+    sol = np.linalg.solve(cov, (xte_n - mu).T).T
+    nll_full = float(np.mean(
+        0.5 * (9 * np.log(2 * np.pi) + logdet + ((xte_n - mu) * sol).sum(-1))
+    ))
+    assert nll_flow < nll_full, (nll_flow, nll_full)

@@ -411,7 +411,15 @@ def fused_adaptive_applicable(cfg: ICNFConfig, net, mode: Mode) -> bool:
     MLP) restricted to hidden width <= 128 (VMEM: 6 stages of intermediates +
     the node buffer stay resident), with ``method='dopri5'`` and the
     continuous-adjoint gradient setting (which the kernel replaces with exact
-    discrete BPTT over the frozen accepted-step sequence)."""
+    discrete BPTT over the frozen accepted-step sequence).
+
+    Exclusions vs the other measured wins (docs/perf.md "What composes"):
+    ``nprobes == 1`` is required (no fused path composes with the measured
+    nprobes=4 optimum), and ``dt0="auto"`` is only *mapped* — the per-tile
+    controller always uses the fixed ``DEFAULT_FIXED_DT0`` start, so the HNW
+    auto-start NFE win (dopri5 25→20 on trained fields) does not apply inside
+    the kernel.  Configs outside the gate silently take the XLA path, which
+    honors both."""
     from ..models.nets import MLP
 
     return (

@@ -309,7 +309,14 @@ def fused_solve_applicable(cfg: ICNFConfig, net, mode: Mode) -> bool:
     (recompute stages in the backward, states in VMEM) replaces the scan-level
     checkpointing choice.  All adaptive-controller fields (rtol/atol/dt0/
     safety/min_factor/max_factor/max_steps/dense_max_nodes/adjoint_seminorm/
-    abm_order) are N/A by construction — nothing is silently dropped."""
+    abm_order) are N/A by construction — nothing is silently dropped.
+
+    Exclusions vs the other measured wins (docs/perf.md "What composes"):
+    the ``nprobes == 1`` condition means the fused kernel CANNOT be combined
+    with the measured nprobes=4 variance-per-wall-clock optimum (the kernel's
+    probe ride-along has a single probe lane); a config with ``fused=True``
+    and ``nprobes > 1`` silently takes the XLA path — by design, the gate is
+    an applicability predicate, not a validator."""
     from ..models.nets import MLP
 
     return (

@@ -133,3 +133,27 @@ logp_served = cnf_export.load_artifact(artifact_path).call(r)
 print("served logp matches:", bool(jnp.allclose(
     logp_served, cnf.log_prob(icnf, cnf.Mode.TEST, r, params), atol=1e-5)))
 os.remove(artifact_path)
+
+# ---- Round-5 extras: validated fit + pluggable steering ------------------
+# Validation-based training control (beyond the reference's fixed-epochs
+# fit): held-out val NLL every eval_every epochs, best-val params, early
+# stopping — the measured-necessary pattern for small real datasets.
+r_val = datasets.beta_samples(jax.random.PRNGKey(9), 256)
+model_v = cnf.ICNFModel(icnf_log, batchsize=0, epochs=120,
+                        key=jax.random.PRNGKey(6))
+res_v = model_v.fit(r, validation_data=r_val, eval_every=10, patience=3)
+print(f"validated fit: best val NLL {res_v.best_val_nll:.3f} at epoch "
+      f"{res_v.best_epoch} ({res_v.stats['epochs_run']} of 120 epochs run); "
+      f"test-style score at best params: "
+      f"{model_v.score(r_val, res_v.best_params):.3f}")
+
+# Pluggable steering distribution (the reference's `steerdist` field):
+# steer the end time with any sampler, not just Uniform(-rate, rate).
+icnf_steer = cnf.ICNF.create(
+    nvariables=1, steer_rate=0.0,
+    steer_dist=dists.uniform_probe(),  # any object with a sample_fn
+    solver=icnf.config.solver,
+)
+l = cnf.loss(icnf_steer, cnf.Mode.TRAIN, r[:128],
+             icnf_steer.init(jax.random.PRNGKey(7)), key=jax.random.PRNGKey(8))
+print("custom-steerdist train loss:", float(l))

@@ -184,3 +184,69 @@ def test_probe_axis_sharding_parity():
     np.testing.assert_allclose(
         np.asarray(lp_repl), np.asarray(lp_shard), rtol=1e-5, atol=1e-6
     )
+
+
+def test_spmd_collective_inventory_does_not_scale_with_devices():
+    """Audit the compiled SPMD *program*, not just its outputs (VERDICT
+    round-4 item 5): on the data-parallel mesh the adaptive train step's
+    collective inventory must consist of all-reduces only (one gradient
+    all-reduce class in the entry computation + the error-norm/loss
+    reductions inside the while bodies), and the number of collective ops
+    must be IDENTICAL at 4 and 8 devices — per-step communication does not
+    scale with device count, the mechanism behind the >=80% weak-scaling
+    target (SURVEY §2.9/§5; measured counts recorded in PARITY round 5).
+    The reference's own gate is relative same-run judgement
+    (.github/workflows/Benchmark.yml:22-31); this is the compile-time
+    analogue for the comm layer."""
+    import re
+
+    icnf = cnf.ICNF.create(
+        nvariables=2,
+        solver=SolverConfig(method="dopri5", rtol=1e-3, atol=1e-3,
+                            gradient="adjoint"),
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64, 2)), jnp.float32)
+    p = icnf.init(jax.random.PRNGKey(1))
+
+    def inventory(ndev):
+        mesh = make_mesh(devices=jax.devices()[:ndev], model=1)
+        m = cnf.ICNFModel(icnf, mesh=mesh, batchsize=0, epochs=1)
+        fn = m._make_step()
+        opt_state = m.optimizer.init(p)
+        txt = fn.lower(p, opt_state, jax.random.PRNGKey(2), x, None)\
+                .compile().as_text()
+        # op-definition sites: "<name> = <shape> <op>(" — count per op kind
+        # (the shape may be a spacey tuple, so anchor on " <op>(" directly)
+        kinds = {
+            k: len(re.findall(rf"=[^=\n]*\s{k}(?:\.\d+)?\(", txt))
+            for k in ("all-reduce", "all-gather", "all-to-all",
+                      "collective-permute", "reduce-scatter")
+        }
+        # placement: all-reduce definitions in the entry computation (the
+        # gradient reduction) vs inside while-body regions (error norm/loss)
+        blocks = re.split(r"\n\n", txt)
+        entry_ar = body_ar = 0
+        for b in blocks:
+            n = len(re.findall(r"all-reduce[\w.]*\s+=", b))
+            if b.startswith("ENTRY"):
+                entry_ar += n
+            elif n:
+                body_ar += n
+        return kinds, entry_ar, body_ar
+
+    kinds4, entry4, body4 = inventory(4)
+    kinds8, entry8, body8 = inventory(8)
+
+    # reductions only — a data-parallel CNF step needs no gathers/permutes
+    assert kinds8["all-reduce"] >= 2, kinds8
+    for k, v in kinds8.items():
+        if k != "all-reduce":
+            assert v == 0, (k, kinds8)
+    # the gradient all-reduce class lives in the entry computation
+    assert entry8 >= 1, "missing gradient all-reduce in entry"
+    # the adaptive error-norm/loss reductions live inside the loop bodies
+    assert body8 >= 1, "missing error-norm reduction in while body"
+    # invariance in device count: same op inventory, same placement
+    assert (kinds4, entry4, body4) == (kinds8, entry8, body8), (
+        (kinds4, entry4, body4), (kinds8, entry8, body8)
+    )

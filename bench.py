@@ -32,33 +32,41 @@ TRAIN_STEPS = 20
 ANCHOR_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL.json")
 
 
-def bench_train(icnf, params, x):
+def bench_train(icnf, params, x, carry=False):
     """Time TRAIN_STEPS optimizer steps executed as ONE device program.
 
     The whole timed window is a single jitted ``lax.scan`` — this VM has
     multi-minute host I/O stall phases (CLAUDE.md), so any Python-loop timing
     can be polluted by the host; a single dispatch measures pure device time.
     Three reps, best-of (a stall can still land between dispatch and ready).
+
+    ``carry=True`` threads the previous step's accepted dt into each solve
+    (the ``SolverConfig.dt0 == "carry"`` warm start) — what ``ICNFModel``
+    does automatically for carry configs.
     """
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
-    def step(carry, i):
-        params, opt_state, key = carry
+    def step(carry_state, i):
+        params, opt_state, key, dt = carry_state
         key, k = jax.random.split(key)
         (l, stats), grads = jax.value_and_grad(
-            lambda p: cnf.loss_with_stats(icnf, Mode.TRAIN, x, p, key=k),
+            lambda p: cnf.loss_with_stats(
+                icnf, Mode.TRAIN, x, p, key=k, dt0=dt if carry else None
+            ),
             has_aux=True,
         )(params)
         updates, opt_state = opt.update(grads, opt_state)
-        return (optax.apply_updates(params, updates), opt_state, key), (
+        dt = jnp.abs(stats.dt_final) if carry else dt
+        return (optax.apply_updates(params, updates), opt_state, key, dt), (
             l, stats.nfe,
         )
 
     @jax.jit
     def run(params, opt_state, key):
-        (params, opt_state, _key), (losses, nfes) = jax.lax.scan(
-            step, (params, opt_state, key), jnp.arange(TRAIN_STEPS)
+        (params, opt_state, _key, _dt), (losses, nfes) = jax.lax.scan(
+            step, (params, opt_state, key, jnp.zeros((), jnp.float32)),
+            jnp.arange(TRAIN_STEPS)
         )
         return params, opt_state, losses[-1], nfes[-1]
 
@@ -170,6 +178,16 @@ def main():
         solver=SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4, dt0=0.01),
         precision="highest",
     )
+    # round-5 capability row: the same reference-parity adaptive stack with
+    # the carried starting step (dt0="carry") — each step's solve warm-starts
+    # from the previous accepted dt, eliminating the per-solve controller
+    # ramp the pinned dt0=0.01 row pays by design
+    icnf_carry = cnf.ICNF.create(
+        nvariables=2,
+        solver=SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4,
+                            gradient="adjoint", dt0="carry"),
+        precision="highest",
+    )
     # the reference's DEFAULT sensitivity stack, solver-class-for-class:
     # VCABM + QuadratureAdjoint (icnf.jl:89-99) = abm + interpolation
     # quadrature adjoint here (measured the right pairing on TPU: 1.56x over
@@ -186,6 +204,9 @@ def main():
 
     train_sps, final_loss, nfe_fixed, t_head = bench_train(icnf, params, x)
     ref_sps, _ref_loss, ref_nfe, t_ref = bench_train(icnf_ref, params, x)
+    carry_sps, _c_loss, carry_nfe, t_carry = bench_train(
+        icnf_carry, params, x, carry=True
+    )
     abm_sps, _abm_loss, abm_nfe, t_abm = bench_train(icnf_abm, params, x)
     eval_sps, nfe, dyn_evals_ps, t_ev = bench_eval(
         icnf_eval, params, datasets.gaussian_mixture(jax.random.PRNGKey(2), EVAL_BATCH)
@@ -232,6 +253,9 @@ def main():
                     "train_abm_quadrature_samples_per_sec": round(abm_sps, 1),
                     "abm_quadrature_vs_baseline": round(abm_sps / anchor_abm, 3),
                     "train_abm_nfe": abm_nfe,
+                    "train_adaptive_carry_samples_per_sec": round(carry_sps, 1),
+                    "carry_vs_adaptive_fixed_ramp": round(carry_sps / ref_sps, 3),
+                    "train_carry_nfe": carry_nfe,
                     "testmode_logprob_evals_per_sec": round(eval_sps, 1),
                     "testmode_nfe": nfe,
                     "dynamics_evals_per_sec": round(dyn_evals_ps, 1),
@@ -242,6 +266,7 @@ def main():
                         "headline": spread_pct(t_head),
                         "adaptive_fp32": spread_pct(t_ref),
                         "abm_quadrature": spread_pct(t_abm),
+                        "adaptive_carry": spread_pct(t_carry),
                         "testmode": spread_pct(t_ev),
                     },
                     # NFE-normalized series (dynamics evals/s): the

@@ -141,7 +141,15 @@ class SolverConfig:
     # cheaper than any fixed guess on trained CNF fields (dopri5 NFE 25→20
     # TRAIN / 37→32 TEST, tsit5 25→20 at rtol 1e-4; PARITY.md).  A float
     # fixes the start to that fraction of the span (the pre-round-3
-    # behavior was 0.01).  ABM always uses the fixed-fraction start (its
+    # behavior was 0.01).  "carry" (round 5) = warm-start each TRAINING
+    # step's solve — forward AND backward-adjoint — with the previous
+    # step's accepted dt (SolverStats.dt_final, threaded by ICNFModel/the
+    # loss dt0= argument): parameters move slowly between optimizer steps,
+    # so the last accepted dt is a near-optimal start and the per-solve
+    # controller ramps disappear — measured on v5e (PARITY round 5):
+    # adaptive train NFE 25 → 7 and **2.37x samples/s** over the fixed
+    # ramp, gradients matching to 1e-6.  Solves with no carried value fall
+    # back to "auto".  ABM always uses the fixed-fraction start (its
     # order-1 ramp needs small early steps; measured in ops.ode).
     dt0: Any = "auto"
     # node-buffer capacity for the dense forward interpolant ("quadrature"
@@ -178,8 +186,10 @@ class SolverConfig:
         if self.gradient not in ("adjoint", "quadrature", "backprop"):
             raise ValueError(f"unknown gradient mode {self.gradient!r}")
         if isinstance(self.dt0, str):
-            if self.dt0 != "auto":
-                raise ValueError(f'dt0 must be a float or "auto", got {self.dt0!r}')
+            if self.dt0 not in ("auto", "carry"):
+                raise ValueError(
+                    f'dt0 must be a float, "auto", or "carry", got {self.dt0!r}'
+                )
         elif not float(self.dt0) > 0.0:
             # > 1 is legal: a deliberate overshoot start exercises the
             # controller's reject-and-shrink path (tests/test_ode.py)

@@ -127,7 +127,13 @@ def _solve(
     params: Pytree,
     eps: Optional[jax.Array],
     ys: Optional[jax.Array],
+    dt0: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
+    """``dt0``: optional traced starting-step override (the carried warm
+    start, ``SolverConfig.dt0 == "carry"``) — consumed by the adaptive RK
+    solvers via the reserved ``args["dt0"]`` channel (ops.ode._pop_dt0);
+    ignored by fixed-step/ABM solves and by the fused kernels (their per-tile
+    controllers use the fixed start by contract)."""
     cfg = icnf.config
     if eps is not None:
         from .ops.pallas_adaptive import (
@@ -198,6 +204,7 @@ def _solve(
             )
             return u1, stats
     f_aug = make_augmented_dynamics(cfg, icnf.net, mode)
+    extra = {} if dt0 is None else {"dt0": dt0}
     if cfg.layout == "feature_first":
         # batch moves to the lane (minor-most) dimension for the whole solve;
         # one transpose in, one out — not per step (ICNFConfig.layout).
@@ -205,10 +212,11 @@ def _solve(
             "params": params,
             "eps": None if eps is None else jnp.swapaxes(eps, 1, 2),
             "ys": None if ys is None else ys.T,
+            **extra,
         }
         u1_t, nfe = odeint_diff(f_aug, u0.T, t0, t1, args, cfg.solver)
         return u1_t.T, nfe
-    args = {"params": params, "eps": eps, "ys": ys}
+    args = {"params": params, "eps": eps, "ys": ys, **extra}
     return odeint_diff(f_aug, u0, t0, t1, args, cfg.solver)
 
 
@@ -220,7 +228,7 @@ def _solve(
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _inference_impl(icnf: ICNF, mode: Mode, xs, params, key, ys):
+def _inference_impl(icnf: ICNF, mode: Mode, xs, params, key, ys, dt0=None):
     cfg = icnf.config
     batch = xs.shape[0]
     k_eps, k_steer = jax.random.split(key)
@@ -234,7 +242,7 @@ def _inference_impl(icnf: ICNF, mode: Mode, xs, params, key, ys):
     # dispatches on TrainMode{true}, base_icnf.jl:23-39)
     t1 = steer_t1(cfg, k_steer) if (mode.regularized and cfg.steered) else t1
 
-    u1, stats = _solve(icnf, mode, u0, t0, t1, params, eps, ys)
+    u1, stats = _solve(icnf, mode, u0, t0, t1, params, eps, ys, dt0)
     logpx, augs = _split_terminal(cfg, mode, u1)
     return logpx, augs, stats
 
@@ -338,6 +346,7 @@ def inference(
     params: Pytree,
     key: Optional[jax.Array] = None,
     ys: Optional[jax.Array] = None,
+    dt0: Optional[jax.Array] = None,
 ):
     """Forward solve x → z; returns ``(logp̂x, (E, n, A), nfe)``.
 
@@ -347,6 +356,11 @@ def inference(
     (NFE, accepted/rejected step counts, final dt) — the solver observability
     the reference gets from SciML ``sol.stats`` / ``verbose`` (icnf.jl:100-101,
     SURVEY.md §5); ``int(stats)`` is the NFE.
+
+    ``dt0``: optional traced starting-step override for the adaptive RK
+    solvers (the carried warm start — pass the previous solve's
+    ``stats.dt_final``; see ``SolverConfig.dt0 == "carry"``).  ``None``
+    follows the config policy.
     """
     cfg = icnf.config
     xs = jnp.asarray(xs, cfg.dtype)
@@ -359,7 +373,7 @@ def inference(
             raise ValueError("train mode needs a PRNG key (probe + steer sampling)")
         key = jax.random.PRNGKey(0)
 
-    logpx, augs, stats = _inference_impl(icnf, mode, xs, params, key, ys)
+    logpx, augs, stats = _inference_impl(icnf, mode, xs, params, key, ys, dt0)
     if single:
         logpx = logpx[0]
         augs = tuple(a[0] for a in augs)
@@ -425,10 +439,11 @@ def loss(
     params: Pytree,
     key: Optional[jax.Array] = None,
     ys: Optional[jax.Array] = None,
+    dt0: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Regularized negative log-likelihood
     ``mean(-logp̂x + λ1*E + λ2*n + λ3*A)`` (icnf.jl:605-649)."""
-    return loss_with_stats(icnf, mode, xs, params, key, ys)[0]
+    return loss_with_stats(icnf, mode, xs, params, key, ys, dt0)[0]
 
 
 def loss_with_stats(
@@ -438,12 +453,18 @@ def loss_with_stats(
     params: Pytree,
     key: Optional[jax.Array] = None,
     ys: Optional[jax.Array] = None,
+    dt0: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, "SolverStats"]:
     """``(loss, solver stats)`` — the stats ride along as an aux output so the
     training loop can surface NFE / rejected steps / final dt per step
-    (reference solver verbosity, icnf.jl:100-101)."""
+    (reference solver verbosity, icnf.jl:100-101).  ``dt0`` is the carried
+    starting-step channel: feed the previous step's ``stats.dt_final`` back
+    in to eliminate the per-solve controller ramp (``SolverConfig.dt0 ==
+    "carry"``; ICNFModel does this automatically)."""
     cfg = icnf.config
-    logpx, (e_acc, n_acc, a_term), stats = inference(icnf, mode, xs, params, key, ys)
+    logpx, (e_acc, n_acc, a_term), stats = inference(
+        icnf, mode, xs, params, key, ys, dt0
+    )
     l = jnp.mean(
         -logpx
         + cfg.lambda_1 * e_acc

@@ -54,6 +54,25 @@ def _bwd_cfg(cfg: SolverConfig) -> SolverConfig:
     return cfg
 
 
+def _bwd_dt0(args_nd: Pytree):
+    """Carried starting step for the BACKWARD solve, from the forward's
+    carry channel (``args_nd["dt0"]``, ops.ode._pop_dt0).
+
+    Under ``dt0="carry"`` the backward solve dominates the train step (the
+    forward collapses to ~1 accepted step while the backward still pays its
+    own fixed ramp): measured on v5e, warm-starting ONLY the forward gives
+    1.17x while a float ``dt0`` — which _bwd_cfg lets through to the
+    backward too — gives 1.68x.  The carried dt is the same field one step
+    earlier, so it sizes the backward (adjoint) steps as well; the
+    controller's reject-and-shrink recovers cheaply if it overshoots, and a
+    poisoned value falls back to the fixed ramp inside ``_initial_dt``.
+    Returns ``None`` when no carry channel is present (the measured-default
+    fixed backward ramp)."""
+    if isinstance(args_nd, dict):
+        return args_nd.get("dt0")
+    return None
+
+
 def _tree_vdot(a: Pytree, b: Pytree) -> jax.Array:
     leaves_a = jax.tree_util.tree_leaves(a)
     leaves_b = jax.tree_util.tree_leaves(b)
@@ -61,14 +80,18 @@ def _tree_vdot(a: Pytree, b: Pytree) -> jax.Array:
 
 
 # args entries that never receive useful cotangents on the continuous-adjoint
-# paths: the Hutchinson probe.  Splitting it out of the differentiable args
-# keeps probe-sized (P x B x nz) quadrature accumulators out of the backward
-# ODE state — they are as large as the flow state itself and every caller
-# discards the probe cotangent (the trace estimate's derivative w.r.t. its
-# own probe is statistically meaningless for training).  Conditions ("ys")
-# stay differentiable: their quadrature is (B x ncond)-small and condition
-# gradients are legitimately consumed (e.g. conditional sampling guidance).
-_NONDIFF_ARG_KEYS = ("eps",)
+# paths: the Hutchinson probe, and the carried starting-step override
+# (ode._pop_dt0 — a pure solver-control scalar; its "gradient" is the
+# derivative of the solution w.r.t. the discretization, which the continuous
+# adjoint deliberately ignores).  Splitting them out of the differentiable
+# args keeps probe-sized (P x B x nz) quadrature accumulators out of the
+# backward ODE state — they are as large as the flow state itself and every
+# caller discards the probe cotangent (the trace estimate's derivative
+# w.r.t. its own probe is statistically meaningless for training).
+# Conditions ("ys") stay differentiable: their quadrature is
+# (B x ncond)-small and condition gradients are legitimately consumed
+# (e.g. conditional sampling guidance).
+_NONDIFF_ARG_KEYS = ("eps", "dt0")
 
 
 def _split_args(args: Pytree) -> Tuple[Pytree, Pytree]:
@@ -130,7 +153,8 @@ def _adjoint_bwd(f, cfg, residuals, cotangents):
             jax.tree_util.tree_map(lambda _: False, q0),
         )
     (y0_rec, a0, q), _nfe_b = odeint(
-        aug_dyn, state1, t1, t0, args_d, _bwd_cfg(cfg), error_weight
+        aug_dyn, state1, t1, t0, args_d, _bwd_cfg(cfg), error_weight,
+        dt0_override=_bwd_dt0(args_nd),
     )
 
     full_args = _merge_args(args_d, args_nd)
@@ -207,7 +231,8 @@ def _quadrature_bwd(f, cfg, residuals, cotangents):
             jax.tree_util.tree_map(lambda _: False, q0),
         )
     (a0, q), _nfe_b = odeint(
-        adj_dyn, state1, t1, t0, args_d, _bwd_cfg(cfg), error_weight
+        adj_dyn, state1, t1, t0, args_d, _bwd_cfg(cfg), error_weight,
+        dt0_override=_bwd_dt0(args_nd),
     )
 
     full_args = _merge_args(args_d, args_nd)

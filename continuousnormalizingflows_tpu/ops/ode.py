@@ -168,8 +168,32 @@ def _controller_factor(ratio, inv_order, safety, min_factor, max_factor, tdt):
 _DT_GIVE_UP = 1e-6
 
 
-def _initial_dt(f, t0, y0, f0, args, cfg, span, direction, err_order, tdt):
+def _pop_dt0(args):
+    """Split the reserved runtime starting-step override out of a dict-style
+    ``args``: returns ``(args_without_dt0, dt0_override_or_None)``.
+
+    ``args["dt0"]`` is the carried-step-size channel (``SolverConfig.dt0 ==
+    "carry"``): a traced positive scalar — typically the previous solve's
+    accepted ``SolverStats.dt_final`` — used as this solve's starting step
+    instead of the fixed-fraction ramp or the HNW probe.  Riding in ``args``
+    (rather than a new positional parameter) keeps the custom_vjp adjoint
+    signatures unchanged; the adjoint paths route it through the nondiff args
+    split, so the BACKWARD solves never see it (they keep the fixed ramp —
+    the measured-correct choice, see adjoint._bwd_cfg)."""
+    if isinstance(args, dict) and "dt0" in args:
+        args = dict(args)
+        return args, args.pop("dt0")
+    return args, None
+
+
+def _initial_dt(f, t0, y0, f0, args, cfg, span, direction, err_order, tdt,
+                override=None):
     """Starting step size: ``(dt_init, extra_nfe)``.
+
+    ``override`` (a traced positive scalar, from :func:`_pop_dt0`) wins over
+    every config policy: the carried warm start.  Non-finite or non-positive
+    overrides fall back to the fixed ramp (loud failures stay upstream — a
+    poisoned dt_final from a failed previous solve must not wedge this one).
 
     ``cfg.dt0 == "auto"`` runs the classic Hairer-Nørsett-Wanner starting-step
     algorithm (Solving ODEs I, §II.4) — what the reference's SciML ``solve``
@@ -186,6 +210,15 @@ def _initial_dt(f, t0, y0, f0, args, cfg, span, direction, err_order, tdt):
     ``err_order`` is the local-error order p+1 of the one-step family (6 for
     the 5th-order embedded RKs).
     """
+    if override is not None:
+        dt = jnp.abs(jnp.asarray(override, tdt))
+        dt = jnp.minimum(dt, jnp.abs(span))
+        dt = jnp.where(
+            jnp.logical_and(jnp.isfinite(dt), dt > 0),
+            dt,
+            DEFAULT_FIXED_DT0 * jnp.abs(span),
+        )
+        return direction * dt, 0
     if not isinstance(cfg.dt0, str):
         return span * jnp.asarray(cfg.dt0, tdt), 0
 
@@ -328,6 +361,7 @@ def odeint_dopri5(
     args: Pytree,
     cfg: SolverConfig,
     error_weight: Pytree = None,
+    dt0_override=None,
 ) -> Tuple[Pytree, SolverStats]:
     """Adaptive embedded Runge-Kutta under ``lax.while_loop`` — the tableau
     (Dormand-Prince 5(4) or Tsitouras 5(4)) is picked from ``cfg.method``.
@@ -335,6 +369,9 @@ def odeint_dopri5(
     (:mod:`continuousnormalizingflows_tpu.ops.adjoint`) for gradients."""
     tab = _TABLEAUS.get(cfg.method, DOPRI5)
     n_evals = len(tab.A) + 1  # new f evals per trial step (FSAL)
+    args, popped_dt0 = _pop_dt0(args)
+    if dt0_override is None:
+        dt0_override = popped_dt0
     tdt = _time_dtype(y0)
     t0 = jnp.asarray(t0, tdt)
     t1 = jnp.asarray(t1, tdt)
@@ -344,7 +381,8 @@ def odeint_dopri5(
 
     k1 = f(t0, y0, args)
     dt_init, nfe_init = _initial_dt(
-        f, t0, y0, k1, args, cfg, span, direction, tab.order + 1, tdt
+        f, t0, y0, k1, args, cfg, span, direction, tab.order + 1, tdt,
+        dt0_override,
     )
 
     inv_order = 1.0 / tab.order
@@ -576,6 +614,10 @@ def odeint_abm(
     """
     K = int(getattr(cfg, "abm_order", 4))
     assert 1 <= K <= _ABM_MAX
+    # the carried-dt override is popped and IGNORED here: a carried one-step
+    # dt is as wrong for the order-1 multistep ramp as the HNW start below
+    # (the ramp needs small early steps to build history)
+    args, _dt0_ignored = _pop_dt0(args)
     tdt = _time_dtype(y0)
     t0 = jnp.asarray(t0, tdt)
     t1 = jnp.asarray(t1, tdt)
@@ -876,6 +918,7 @@ def odeint_dopri5_dense(
     """
     tab = _TABLEAUS.get(cfg.method, DOPRI5)
     n_evals = len(tab.A) + 1
+    args, dt0_override = _pop_dt0(args)
     tdt = _time_dtype(y0)
     t0 = jnp.asarray(t0, tdt)
     t1 = jnp.asarray(t1, tdt)
@@ -886,7 +929,8 @@ def odeint_dopri5_dense(
 
     k1 = f(t0, y0, args)
     dt_init, nfe_init = _initial_dt(
-        f, t0, y0, k1, args, cfg, span, direction, tab.order + 1, tdt
+        f, t0, y0, k1, args, cfg, span, direction, tab.order + 1, tdt,
+        dt0_override,
     )
     inv_order = 1.0 / tab.order
 
@@ -1010,6 +1054,7 @@ def odeint_fixed(
     t0 = jnp.asarray(t0, tdt)
     t1 = jnp.asarray(t1, tdt)
     n = int(cfg.fixed_steps)
+    args, _dt0_ignored = _pop_dt0(args)  # fixed-step: no starting-step choice
     dt = (t1 - t0) / n
     step = {"rk4": _rk4_step, "euler": _euler_step}[cfg.method]
     evals = {"rk4": 4, "euler": 1}[cfg.method]
@@ -1033,13 +1078,18 @@ def odeint(
     args: Pytree,
     cfg: SolverConfig,
     error_weight: Pytree = None,
+    dt0_override=None,
 ) -> Tuple[Pytree, SolverStats]:
     """Dispatch on ``cfg.method``. Gradient handling lives one level up
     (``ops.adjoint.odeint_diff``). ``error_weight`` marks which state leaves
     enter the adaptive error norm (seminorm support; ignored by fixed-step
-    methods)."""
+    methods).  ``dt0_override``: explicit traced starting-step (internal
+    callers, e.g. the backward adjoint solve); the ``args["dt0"]`` channel is
+    the equivalent for calls that cross a custom_vjp boundary — an explicit
+    override wins over the channel."""
     if cfg.method in _TABLEAUS:
-        return odeint_dopri5(f, y0, t0, t1, args, cfg, error_weight)
+        return odeint_dopri5(f, y0, t0, t1, args, cfg, error_weight,
+                             dt0_override)
     if cfg.method == "abm":
         return odeint_abm(f, y0, t0, t1, args, cfg, error_weight)
     return odeint_fixed(f, y0, t0, t1, args, cfg)

@@ -136,25 +136,34 @@ def shard_train_step(
     mesh: Mesh,
     conditional: bool = False,
     tensor_parallel: bool = False,
+    n_extra_repl: int = 0,
 ):
     """jit the train step over the mesh: batch sharded on ``data``, params/
     opt-state replicated — or, with ``tensor_parallel=True``, carrying
     whatever shardings the caller committed them with (see
     :func:`shard_mlp_params`).  XLA turns the global loss mean + ``jax.grad``
     into per-device compute with one gradient ``psum`` over ICI (plus the
-    row-parallel activation all-reduce in the TP case)."""
+    row-parallel activation all-reduce in the TP case).
+
+    ``n_extra_repl`` appends that many replicated trailing arguments to the
+    step signature (e.g. the carried starting-step scalar of
+    ``SolverConfig.dt0 == "carry"``)."""
     repl = replicated(mesh)
     batch_sh = data_sharding(mesh)
     ys_sh = batch_sh if conditional else None
+    extra = (repl,) * n_extra_repl
     if tensor_parallel:
         # params/opt-state shardings come from the committed inputs
-        return jax.jit(step, in_shardings=(None, None, repl, batch_sh, ys_sh),
-                       donate_argnums=(0, 1))
+        return jax.jit(
+            step,
+            in_shardings=(None, None, repl, batch_sh, ys_sh) + extra,
+            donate_argnums=(0, 1),
+        )
     # a single sharding is a valid pytree prefix for the whole output, so the
     # step may return any structure (params, opt_state, loss[, stats, ...])
     return jax.jit(
         step,
-        in_shardings=(repl, repl, repl, batch_sh, ys_sh),
+        in_shardings=(repl, repl, repl, batch_sh, ys_sh) + extra,
         out_shardings=repl,
         donate_argnums=(0, 1),
     )

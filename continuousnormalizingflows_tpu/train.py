@@ -199,18 +199,30 @@ class ICNFModel:
         k_loss, k_aug = jax.random.split(k_step)
         return k_loss, self.batch_transform(k_aug, xb)
 
+    @property
+    def _carry_dt(self) -> bool:
+        """dt0="carry": warm-start each step's adaptive solve with the
+        previous step's accepted dt (SolverStats.dt_final).  Only the
+        embedded-RK methods consume the override (ABM keeps its order-ramp
+        start, fixed-step solves have no starting-step choice)."""
+        s = self.icnf.config.solver
+        return s.dt0 == "carry" and s.method in ("dopri5", "tsit5")
+
     def _make_step(self):
         if "step" in self._step_cache:
             return self._step_cache["step"]
         icnf, optimizer = self.icnf, self.optimizer
         conditional = self._conditional
+        carry_dt = self._carry_dt
 
-        def step(params, opt_state, key, xs, ys):
+        def step(params, opt_state, key, xs, ys, dt_prev=None):
             key, xs = self._apply_transform(key, xs)
 
             def loss_fn(p):
                 return loss_with_stats(
-                    icnf, Mode.TRAIN, xs, p, key=key, ys=ys if conditional else None
+                    icnf, Mode.TRAIN, xs, p, key=key,
+                    ys=ys if conditional else None,
+                    dt0=dt_prev if carry_dt else None,
                 )
 
             (l, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -221,7 +233,8 @@ class ICNFModel:
         if self.mesh is not None:
             from .parallel.mesh import shard_train_step
 
-            fn = shard_train_step(step, self.mesh, conditional)
+            fn = shard_train_step(step, self.mesh, conditional,
+                                  n_extra_repl=1 if carry_dt else 0)
         else:
             fn = jax.jit(step, donate_argnums=(0, 1))
         self._step_cache["step"] = fn
@@ -240,10 +253,11 @@ class ICNFModel:
             return self._step_cache["block"]
         icnf, optimizer = self.icnf, self.optimizer
         conditional = self._conditional
+        carry_dt = self._carry_dt
 
-        def block(params, opt_state, key, xs_all, ys_all, idx_block):
+        def block(params, opt_state, key, xs_all, ys_all, idx_block, dt_prev):
             def body(carry, idx):
-                params, opt_state, key = carry
+                params, opt_state, key, dt_c = carry
                 key, k_step = jax.random.split(key)
                 xb = jnp.take(xs_all, idx, axis=0)
                 yb = jnp.take(ys_all, idx, axis=0) if conditional else None
@@ -251,7 +265,8 @@ class ICNFModel:
 
                 def loss_fn(p):
                     return loss_with_stats(
-                        icnf, Mode.TRAIN, xb, p, key=k_step, ys=yb
+                        icnf, Mode.TRAIN, xb, p, key=k_step, ys=yb,
+                        dt0=dt_c if carry_dt else None,
                     )
 
                 (l, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -259,13 +274,14 @@ class ICNFModel:
                 )
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, key), (l, stats)
+                dt_c = jnp.abs(stats.dt_final) if carry_dt else dt_c
+                return (params, opt_state, key, dt_c), (l, stats)
 
-            (params, opt_state, key), (losses, stats) = jax.lax.scan(
-                body, (params, opt_state, key), idx_block
+            (params, opt_state, key, dt_prev), (losses, stats) = jax.lax.scan(
+                body, (params, opt_state, key, dt_prev), idx_block
             )
             last_stats = jax.tree_util.tree_map(lambda a: a[-1], stats)
-            return params, opt_state, key, losses, last_stats
+            return params, opt_state, key, losses, last_stats, dt_prev
 
         if self.mesh is not None:
             from .parallel.mesh import data_sharding, replicated
@@ -275,7 +291,7 @@ class ICNFModel:
             fn = jax.jit(
                 block,
                 in_shardings=(repl, repl, repl, dsh,
-                              dsh if conditional else None, repl),
+                              dsh if conditional else None, repl, repl),
                 out_shardings=repl,
                 donate_argnums=(0, 1),
             )
@@ -415,6 +431,11 @@ class ICNFModel:
         t_start = time.perf_counter()
         last_loss = float("nan")
         spd = self.steps_per_dispatch
+        # carried starting step (dt0="carry"): 0 makes the FIRST solve take
+        # the fixed-fraction ramp (the override's documented fallback); each
+        # later solve warm-starts from the previous accepted dt.  Reset per
+        # fit() — a warm-started fit pays one ramp solve, nothing else.
+        dt_prev = jnp.zeros((), jnp.float32)
         if spd > 1:
             block_fn = self._make_block_step()
             if self.mesh is not None:
@@ -429,8 +450,9 @@ class ICNFModel:
                 batches = self._batches(k_perm, n)
                 for blk in range(0, batches.shape[0], spd):
                     idx_block = jnp.asarray(batches[blk : blk + spd])
-                    params, opt_state, key, losses, sol_stats = block_fn(
-                        params, opt_state, key, xs_all, ys_arg, idx_block
+                    params, opt_state, key, losses, sol_stats, dt_prev = block_fn(
+                        params, opt_state, key, xs_all, ys_arg, idx_block,
+                        dt_prev,
                     )
                     k_done = idx_block.shape[0]
                     logged = [
@@ -471,9 +493,15 @@ class ICNFModel:
                         xb = jax.device_put(xb, batch_sharding)
                         if yb is not None:
                             yb = jax.device_put(yb, batch_sharding)
-                    params, opt_state, l, sol_stats = step_fn(
-                        params, opt_state, k_step, xb, yb
-                    )
+                    if self._carry_dt:
+                        params, opt_state, l, sol_stats = step_fn(
+                            params, opt_state, k_step, xb, yb, dt_prev
+                        )
+                        dt_prev = jnp.abs(sol_stats.dt_final)
+                    else:
+                        params, opt_state, l, sol_stats = step_fn(
+                            params, opt_state, k_step, xb, yb
+                        )
                     if it % self.log_every == 0:
                         last_loss = float(l)
                         history.append(last_loss)

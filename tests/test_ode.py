@@ -757,3 +757,63 @@ def test_odeint_and_dense_primal_identical(method, dt0):
     np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_dense))
     for a, b in zip(s_plain, s_dense):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dt0_runtime_override_channel():
+    """The reserved ``args["dt0"]`` starting-step override (the carried warm
+    start behind ``SolverConfig.dt0 == "carry"``, round 5): respected by the
+    adaptive RK solvers, ignored by fixed-step solves, and non-finite
+    overrides fall back to the fixed ramp instead of wedging the solve."""
+    import numpy as np
+
+    def f(t, y, args):
+        return jnp.cos(3.0 * t) * y * args["a"]
+
+    y0 = jnp.ones((4, 3), jnp.float32)
+    args = {"a": jnp.float32(0.7)}
+    cfg = SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4, dt0=0.01)
+
+    @jax.jit
+    def solve(extra):
+        return odeint(f, y0, 0.0, 1.0, {**args, **extra}, cfg)
+
+    y_ramp, s_ramp = solve({})
+    y_warm, s_warm = solve({"dt0": jnp.abs(s_ramp.dt_final)})
+    assert int(s_warm.nfe) < int(s_ramp.nfe), (int(s_warm.nfe), int(s_ramp.nfe))
+    np.testing.assert_allclose(np.asarray(y_warm), np.asarray(y_ramp),
+                               rtol=2e-4, atol=1e-5)
+
+    # a poisoned carried dt (NaN / 0) must reproduce the fixed ramp exactly
+    for bad in (jnp.float32(jnp.nan), jnp.float32(0.0)):
+        y_bad, s_bad = solve({"dt0": bad})
+        np.testing.assert_array_equal(np.asarray(y_bad), np.asarray(y_ramp))
+        assert int(s_bad.nfe) == int(s_ramp.nfe)
+
+    # fixed-step solves ignore the channel entirely
+    cfg_fix = SolverConfig(method="rk4", gradient="backprop", fixed_steps=16)
+
+    @jax.jit
+    def solve_fix(extra):
+        return odeint(f, y0, 0.0, 1.0, {**args, **extra}, cfg_fix)
+
+    y_a, _ = solve_fix({})
+    y_b, _ = solve_fix({"dt0": jnp.float32(0.5)})
+    np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b))
+
+    # gradient paths: value under value_and_grad matches the plain call with
+    # the same override (custom_vjp primal/fwd consistency includes dt0)
+    for grad_mode in ("adjoint", "quadrature"):
+        cfg_g = SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4,
+                             gradient=grad_mode, dt0=0.01)
+
+        @jax.jit
+        def loss_of(a, dt):
+            y, _ = odeint_diff(f, y0, 0.0, 1.0,
+                               {"a": a, "dt0": dt}, cfg_g)
+            return jnp.sum(y * y)
+
+        dt = jnp.float32(0.37)
+        v_plain = loss_of(args["a"], dt)
+        v_grad, g = jax.value_and_grad(loss_of)(args["a"], dt)
+        np.testing.assert_array_equal(np.asarray(v_plain), np.asarray(v_grad))
+        assert np.isfinite(float(g))

@@ -575,3 +575,46 @@ def test_diabetes_validated_fit_beats_full_gaussian():
         0.5 * (9 * np.log(2 * np.pi) + logdet + ((xte_n - mu) * sol).sum(-1))
     ))
     assert nll_flow < nll_full, (nll_flow, nll_full)
+
+
+def test_dt0_carry_training():
+    """``SolverConfig(dt0="carry")`` (round 5): each train step's adaptive
+    solve warm-starts from the previous step's accepted dt — the per-solve
+    controller ramp disappears (measured on v5e: adaptive train NFE 25 →
+    13-19, 1.6-1.7x samples/s; PARITY round 5).  Asserts: the final step's
+    NFE beats the fixed-ramp twin's, the fitted loss agrees (solution-level
+    equivalence to solver tolerance), and steps_per_dispatch bit-parity
+    holds with the carried scalar in the scan state."""
+    x = datasets.gaussian_mixture(jax.random.PRNGKey(3), 256)
+    mk = lambda dt0: cnf.ICNF.create(
+        nvariables=2,
+        solver=SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4,
+                            gradient="adjoint", dt0=dt0),
+    )
+    icnf_c, icnf_f = mk("carry"), mk(0.01)
+    p0 = icnf_c.init(jax.random.PRNGKey(9))
+    # batch/epochs chosen where BOTH twins train stably on CPU: the
+    # adaptive-adjoint toy fit is chaotically marginal on some
+    # batch/seed combinations with or without carry (verified against the
+    # pre-carry code at HEAD — a known pre-existing trait of loose-tolerance
+    # adjoint training, same class as the round-1 clip_norm note)
+    kw = dict(batchsize=128, epochs=4, key=jax.random.PRNGKey(0),
+              optimizer=cnf.default_optimizer(clip_norm=1.0))
+
+    r_c = cnf.ICNFModel(icnf_c, **kw).fit(x, params=p0)
+    r_f = cnf.ICNFModel(icnf_f, **kw).fit(x, params=p0)
+    assert r_c.stats["nfe"] < r_f.stats["nfe"], (r_c.stats, r_f.stats)
+    assert abs(r_c.stats["final_loss"] - r_f.stats["final_loss"]) < 5e-2
+
+    r_blk = cnf.ICNFModel(icnf_c, steps_per_dispatch=4, **kw).fit(x, params=p0)
+    for a, b in zip(jax.tree_util.tree_leaves(r_c.params),
+                    jax.tree_util.tree_leaves(r_blk.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a bare (non-training) solve under dt0="carry" has no carried value and
+    # must fall back to the HNW auto start — same behavior as dt0="auto"
+    icnf_a = mk("auto")
+    lp_c, _, s_c = cnf.inference(icnf_c, Mode.TEST, x[:32], p0)
+    lp_a, _, s_a = cnf.inference(icnf_a, Mode.TEST, x[:32], p0)
+    np.testing.assert_array_equal(np.asarray(lp_c), np.asarray(lp_a))
+    assert int(s_c.nfe) == int(s_a.nfe)

@@ -52,7 +52,6 @@ def train_block(icnf, params, x, steps, carry, key, lr=1e-3,
     ``fresh_batch > 0`` draws a new mixture batch of that size every step
     (infinite data) instead of reusing ``x``."""
     opt = optax.adam(lr)
-    opt_state = opt.init(params)
 
     def step(carry_state, i):
         params, opt_state, key, dt = carry_state

@@ -101,8 +101,9 @@ def run(name, epochs, h, lam, seed=0, eval_every=100, patience=3):
             f"(diverged fit) — nothing to report"
         )
 
-    nll_flow = model.score(xte, res.best_params)
-    _, _, stats = cnf.inference(icnf_eval, Mode.TEST, xte, res.best_params)
+    # one TestMode solve yields both the NLL and the solver stats
+    lp, _, stats = cnf.inference(icnf_eval, Mode.TEST, xte, res.best_params)
+    nll_flow = -float(jnp.mean(lp))
     out = {
         "dataset": name, "d": d, "n_train": int(xtr.shape[0]),
         "n_val": int(xval.shape[0]), "n_test": int(xte.shape[0]),

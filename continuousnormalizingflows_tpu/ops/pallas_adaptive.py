@@ -415,11 +415,13 @@ def fused_adaptive_applicable(cfg: ICNFConfig, net, mode: Mode) -> bool:
 
     Exclusions vs the other measured wins (docs/perf.md "What composes"):
     ``nprobes == 1`` is required (no fused path composes with the measured
-    nprobes=4 optimum), and ``dt0="auto"`` is only *mapped* — the per-tile
-    controller always uses the fixed ``DEFAULT_FIXED_DT0`` start, so the HNW
-    auto-start NFE win (dopri5 25→20 on trained fields) does not apply inside
-    the kernel.  Configs outside the gate silently take the XLA path, which
-    honors both."""
+    nprobes=4 optimum), and ``dt0="auto"``/``"carry"`` are only *mapped* —
+    the per-tile controller always uses the fixed ``DEFAULT_FIXED_DT0``
+    start, so neither the HNW auto-start NFE win (dopri5 25→20 on trained
+    fields) nor the carried warm start (2.37x on the XLA adaptive path)
+    applies inside the kernel; the ``args["dt0"]`` channel is attached after
+    the kernel gate in ``core._solve`` and never reaches it.  Configs
+    outside the gate silently take the XLA path, which honors all three."""
     from ..models.nets import MLP
 
     return (

@@ -52,6 +52,8 @@ __all__ = ["default_optimizer", "FitResult", "ICNFModel", "CondICNFModel"]
 
 Pytree = Any
 
+_UNSET = object()  # sentinel for __setattr__'s first-assignment detection
+
 
 def default_optimizer(
     learning_rate: float = 1e-3,
@@ -183,7 +185,13 @@ class ICNFModel:
     _TRACED_ATTRS = ("icnf", "optimizer", "batch_transform", "mesh")
 
     def __setattr__(self, name: str, value) -> None:
-        if name in self._TRACED_ATTRS and "_step_cache" in self.__dict__:
+        if (
+            name in self._TRACED_ATTRS
+            and "_step_cache" in self.__dict__
+            # no-op reassignment of the identical object keeps the memo — a
+            # spurious clear costs a full recompile (minutes on the tunnel)
+            and value is not getattr(self, name, _UNSET)
+        ):
             self._step_cache.clear()
         super().__setattr__(name, value)
         if name == "icnf" and "_step_cache" in self.__dict__:
@@ -435,7 +443,14 @@ class ICNFModel:
         # the fixed-fraction ramp (the override's documented fallback); each
         # later solve warm-starts from the previous accepted dt.  Reset per
         # fit() — a warm-started fit pays one ramp solve, nothing else.
-        dt_prev = jnp.zeros((), jnp.float32)
+        # dtype MUST match stats.dt_final (the solver's time dtype, which
+        # follows the state dtype): a float32 init against a float64 model
+        # is a scan-carry type error in the block path and a silent
+        # signature change (recompile) in the per-step path.
+        tdt = (icnf.config.dtype
+               if jnp.issubdtype(icnf.config.dtype, jnp.floating)
+               else jnp.float32)
+        dt_prev = jnp.zeros((), tdt)
         if spd > 1:
             block_fn = self._make_block_step()
             if self.mesh is not None:

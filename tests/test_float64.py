@@ -185,3 +185,21 @@ def test_abm_order_12_at_extreme_tolerance(x64):
         nfes[name] = int(st.nfe)
     assert nfes["abm12"] < 0.75 * nfes["abm8"], nfes  # measured: 669 vs 1033
     assert nfes["abm12"] < 0.25 * nfes["dopri5"], nfes  # measured: 669 vs 3451
+
+
+def test_float64_carry_block_path(x64):
+    """dt0="carry" with a float64 model through the steps_per_dispatch block
+    path: the carried scalar must follow the state dtype (a float32 init is
+    a lax.scan carry-type error — caught by round-5 review)."""
+    icnf = cnf.ICNF.create(
+        nvariables=2, dtype=jnp.float64,
+        solver=SolverConfig(method="dopri5", rtol=1e-6, atol=1e-6,
+                            gradient="adjoint", dt0="carry"),
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64, 2)), jnp.float64)
+    m = cnf.ICNFModel(icnf, batchsize=32, epochs=2, steps_per_dispatch=2,
+                      key=jax.random.PRNGKey(0),
+                      optimizer=cnf.default_optimizer(clip_norm=1.0))
+    res = m.fit(x)
+    assert np.isfinite(res.stats["final_loss"])
+    assert res.stats["nfe"] > 0

@@ -783,8 +783,10 @@ def test_dt0_runtime_override_channel():
     np.testing.assert_allclose(np.asarray(y_warm), np.asarray(y_ramp),
                                rtol=2e-4, atol=1e-5)
 
-    # a poisoned carried dt (NaN / 0) must reproduce the fixed ramp exactly
-    for bad in (jnp.float32(jnp.nan), jnp.float32(0.0)):
+    # a poisoned carried dt (NaN / +inf / 0) must reproduce the fixed ramp
+    # exactly (+inf guards the clamp order: min(inf, span) is finite, so the
+    # finiteness gate must run BEFORE the span clamp)
+    for bad in (jnp.float32(jnp.nan), jnp.float32(jnp.inf), jnp.float32(0.0)):
         y_bad, s_bad = solve({"dt0": bad})
         np.testing.assert_array_equal(np.asarray(y_bad), np.asarray(y_ramp))
         assert int(s_bad.nfe) == int(s_ramp.nfe)

@@ -101,3 +101,21 @@ def test_config_validation():
         SolverConfig(method="nope")
     with pytest.raises(ValueError):
         SolverConfig(gradient="nope")
+
+
+def test_bench_helper_functions():
+    """The bench aux computations are pure helpers — pin them (a wrong
+    spread/MFU silently corrupts the drift decision rule's inputs)."""
+    import bench
+
+    assert bench.spread_pct([0.010, 0.011, 0.0105]) == 10.0
+    assert bench.spread_pct([2.0, 2.0, 2.0]) == 0.0
+    # reference-default 2-D net: widths (6, 24, 24, 5)
+    assert bench.mlp_fwd_flops((6, 24, 24, 5)) == 2 * (6*24 + 24*24 + 24*5)
+    tflops, pct = bench.train_mfu(
+        3.4e6, 128, (6, 24, 24, 5), 4, bench.PEAK_BF16_TFLOPS
+    )
+    # 3.4e6 * 128 * 2*1680 * 4 / 1e12 = 5.849 TFLOP/s (the ROADMAP ~5.7-5.9
+    # speed-of-light estimate, now a tracked formula)
+    assert abs(tflops - 5.849) < 0.01
+    assert abs(pct - 100 * tflops / 197.0) < 0.01

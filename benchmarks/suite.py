@@ -95,6 +95,61 @@ def main():
                 }
             )
 
+    # Sequence rows (round 5): the carried starting step only exists across
+    # a SEQUENCE of solves, so it gets a scanned 4-step row pair — carry vs
+    # fixed ramp on the same adaptive stack — protecting the measured 2.37x
+    # capability (PARITY round 5) from regression in the CPU gate.
+    K = 4
+    for sname, dt0, carry in (("ramp_seq", 0.01, False),
+                              ("carry_seq", "carry", True)):
+        icnf = cnf.ICNF.create(
+            nvariables=1,
+            solver=SolverConfig(method="dopri5", rtol=1e-4, atol=1e-4,
+                                gradient="adjoint", dt0=dt0),
+        )
+        params = icnf.init(jax.random.PRNGKey(2))
+
+        def body(c, i, icnf=icnf, params=params, carry=carry, with_grad=False):
+            k, dt = c
+            k, ks = jax.random.split(k)
+            if with_grad:
+                (l, stats), g = jax.value_and_grad(
+                    lambda p: cnf.loss_with_stats(
+                        icnf, Mode.TRAIN, x, p, key=ks,
+                        dt0=dt if carry else None),
+                    has_aux=True,
+                )(params)
+                out = l + sum(jnp.sum(le) for le in jax.tree_util.tree_leaves(g)) * 0
+            else:
+                l, stats = cnf.loss_with_stats(
+                    icnf, Mode.TRAIN, x, params, key=ks,
+                    dt0=dt if carry else None)
+                out = l
+            return (k, jnp.abs(stats.dt_final) if carry else dt), out
+
+        @jax.jit
+        def fwd_scan(p, k, body=body):
+            _, ls = jax.lax.scan(
+                lambda c, i: body(c, i), (k, jnp.zeros((), jnp.float32)),
+                jnp.arange(K))
+            return ls
+
+        @jax.jit
+        def grad_scan(p, k, body=body):
+            _, ls = jax.lax.scan(
+                lambda c, i: body(c, i, with_grad=True),
+                (k, jnp.zeros((), jnp.float32)), jnp.arange(K))
+            return ls
+
+        t_fwd = timeit(fwd_scan, params, key, best_of=args.reps) / K
+        t_grad = timeit(grad_scan, params, key, best_of=args.reps) / K
+        rows.append({
+            "solver": sname, "mode": "train",
+            "loss_fwd_ms": round(t_fwd * 1e3, 3),
+            "loss_grad_ms": round(t_grad * 1e3, 3),
+            "samples_per_s_grad": round(N / t_grad, 1),
+        })
+
     if args.json:
         for row in rows:
             print(json.dumps(row))
